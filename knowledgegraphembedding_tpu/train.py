@@ -1,0 +1,111 @@
+"""The jitted training step and the host-side training loop.
+
+TPU-native redesign of the reference's ``KGEModel.train_step``
+(reference: codes/model.py ≈L267-330) and the orchestration loop in
+codes/run.py §main ≈L280-340:
+
+  - the whole forward+loss+backward+Adam step is ONE jitted function
+    ``(params, opt_state, batch, lr) -> (params, opt_state, logs)``;
+    mode ('head-batch'/'tail-batch') is a static argument, so exactly two
+    programs are compiled and cached;
+  - the learning rate is a runtime scalar — the one-shot LR decay
+    (÷10 at warm_up_steps, fresh Adam, warm_up×3; codes/run.py ≈L300)
+    happens on the host with zero recompiles;
+  - device-host sync happens only when logs are read (every log_steps),
+    not every step: logs are accumulated on device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import ModelSpec, TrainSpec
+from .models import kge, scorers
+from .ops import loss as loss_ops
+from . import optim
+
+
+def loss_and_logs(
+    params: kge.Params,
+    spec: ModelSpec,
+    tspec: TrainSpec,
+    pos: jnp.ndarray,  # i32[B, 3]
+    neg: jnp.ndarray,  # i32[B, n]
+    weight: jnp.ndarray,  # f32[B]
+    mode: str,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    negative_score = kge.forward(params, spec, (pos, neg), mode)
+    positive_score = kge.forward(params, spec, pos, scorers.SINGLE)
+    loss, logs = loss_ops.kge_loss(positive_score, negative_score, weight, tspec)
+    if tspec.regularization != 0.0:
+        reg = loss_ops.l3_regularization(params, tspec.regularization)
+        loss = loss + reg
+        logs["regularization"] = reg
+        logs["loss"] = loss  # the reference logs the regularized total
+    return loss, logs
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "tspec", "mode"))
+def train_step(
+    params: kge.Params,
+    opt_state: optim.AdamState,
+    pos: jnp.ndarray,
+    neg: jnp.ndarray,
+    weight: jnp.ndarray,
+    lr: jnp.ndarray,
+    *,
+    spec: ModelSpec,
+    tspec: TrainSpec,
+    mode: str,
+):
+    grad_fn = jax.value_and_grad(
+        lambda p: loss_and_logs(p, spec, tspec, pos, neg, weight, mode),
+        has_aux=True,
+    )
+    (_, logs), grads = grad_fn(params)
+    params, opt_state = optim.apply_update(params, grads, opt_state, lr)
+    return params, opt_state, logs
+
+
+class Trainer:
+    """Host-side loop state: step counter, LR schedule with Adam reset,
+    log accumulation. The analogue of codes/run.py §main's train loop."""
+
+    def __init__(self, spec: ModelSpec, tspec: TrainSpec, params, lr: float,
+                 warm_up_steps: int, init_step: int = 0):
+        self.spec = spec
+        self.tspec = tspec
+        self.params = params
+        self.opt_state = optim.init_state(params)
+        self.current_learning_rate = lr
+        self.warm_up_steps = warm_up_steps
+        self.step = init_step
+
+    def one_step(self, batch) -> Dict[str, jnp.ndarray]:
+        pos, neg, weight, mode = batch
+        step_idx = self.step
+        self.params, self.opt_state, logs = train_step(
+            self.params,
+            self.opt_state,
+            pos,
+            neg,
+            weight,
+            jnp.float32(self.current_learning_rate),
+            spec=self.spec,
+            tspec=self.tspec,
+            mode=mode,
+        )
+        self.step = step_idx + 1
+        # codes/run.py ≈L300: the decay check runs AFTER the step body, so
+        # step == warm_up_steps still trains at the old LR; the next step
+        # sees lr/10, a FRESH Adam (moments + bias-correction count reset),
+        # and warm_up_steps*3 (so it usually fires exactly once).
+        if step_idx >= self.warm_up_steps:
+            self.current_learning_rate = self.current_learning_rate / 10.0
+            self.opt_state = optim.init_state(self.params)
+            self.warm_up_steps = self.warm_up_steps * 3
+        return logs
