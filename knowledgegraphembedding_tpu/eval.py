@@ -50,7 +50,13 @@ def ranks_batch(
     E = spec.nentity
     n_chunks = _cdiv(E, chunk)
 
-    true_score = kge.forward(params, spec, pos, scorers.SINGLE)[:, 0]  # [B]
+    # Score the true entity through the SAME mode-specific grouped form the
+    # candidates use: in the reference the true entity sits inside the one
+    # [B, E] score row being argsorted, so its score comes from the batch
+    # layout, not the 'single' layout (they differ in float for RotatE's two
+    # groupings). Comparing like-vs-like keeps rank parity exact.
+    true_ids = pos[:, 0:1] if mode == scorers.HEAD_BATCH else pos[:, 2:3]
+    true_score = kge.forward(params, spec, (pos, true_ids), mode)[:, 0]  # [B]
 
     r = jnp.take(rel, pos[:, 1], axis=0)[:, None, :]  # [B,1,dr]
     if mode == scorers.HEAD_BATCH:
