@@ -1,0 +1,107 @@
+"""End-to-end smoke tests (SURVEY.md §4 item e): train briefly on small
+synthetic graphs and require the filtered metrics to rise far above chance —
+the countries_S1-style loud failure detector for scorer/loss/sampler bugs."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from knowledgegraphembedding_tpu import eval as eval_mod
+from knowledgegraphembedding_tpu.config import ModelSpec, TrainSpec
+from knowledgegraphembedding_tpu.data.filterset import FilterSets
+from knowledgegraphembedding_tpu.data.synthetic import make_clustered_kg, make_countries_like
+from knowledgegraphembedding_tpu.models import kge
+from knowledgegraphembedding_tpu.sampler import build_train_iterator
+from knowledgegraphembedding_tpu.train import Trainer
+
+
+def run_training(ds, spec, tspec, steps, lr=1e-2, seed=0, warm_up=None):
+    filters = FilterSets.build(ds.train, ds.all_true_triples, ds.nentity, ds.nrelation)
+    params = kge.init_params(spec, jax.random.PRNGKey(seed))
+    trainer = Trainer(
+        spec, tspec, params, lr=lr,
+        warm_up_steps=warm_up if warm_up is not None else steps // 2,
+    )
+    it = build_train_iterator(
+        ds.train, ds.nentity, ds.nrelation,
+        tspec.batch_size, tspec.negative_sample_size, filters,
+        seed=seed, prefetch_depth=2,
+    )
+    first_loss = None
+    for _ in range(steps):
+        pos, neg, w, mode = next(it)
+        logs = trainer.one_step((jnp.asarray(pos), jnp.asarray(neg), jnp.asarray(w), mode))
+        if first_loss is None:
+            first_loss = float(logs["loss"])
+    it.close()
+    return trainer, filters, first_loss, float(logs["loss"])
+
+
+def test_rotate_learns_clustered_graph():
+    ds = make_clustered_kg(n_clusters=6, entities_per_cluster=10, nrelation=3, seed=0)
+    spec = ModelSpec(
+        model_name="RotatE", nentity=ds.nentity, nrelation=ds.nrelation,
+        hidden_dim=32, gamma=6.0, double_entity_embedding=True,
+    )
+    tspec = TrainSpec(
+        negative_sample_size=32, batch_size=64,
+        negative_adversarial_sampling=True, adversarial_temperature=1.0,
+    )
+    trainer, filters, first_loss, last_loss = run_training(ds, spec, tspec, steps=300, lr=5e-3)
+    assert last_loss < first_loss
+    metrics = eval_mod.test_step(
+        trainer.params, spec, ds.test, filters, test_batch_size=8, eval_chunk_size=32
+    )
+    chance_mrr = np.mean(1.0 / np.arange(1, ds.nentity + 1))
+    assert metrics["MRR"] > 5 * chance_mrr, metrics
+    assert metrics["HITS@10"] > 0.35, metrics
+
+
+def test_transe_uniform_learns():
+    """The north-star minimum slice: TransE, uniform sampling."""
+    ds = make_clustered_kg(n_clusters=5, entities_per_cluster=8, nrelation=2, seed=1)
+    spec = ModelSpec(
+        model_name="TransE", nentity=ds.nentity, nrelation=ds.nrelation,
+        hidden_dim=24, gamma=4.0,
+    )
+    tspec = TrainSpec(negative_sample_size=16, batch_size=64, uni_weight=True)
+    trainer, filters, first_loss, last_loss = run_training(ds, spec, tspec, steps=250, lr=1e-2)
+    assert last_loss < first_loss
+    metrics = eval_mod.test_step(
+        trainer.params, spec, ds.test, filters, test_batch_size=8, eval_chunk_size=16
+    )
+    assert metrics["HITS@10"] > 0.3, metrics
+
+
+def test_countries_auc_pr_near_one():
+    """countries_S1 analogue: AUC-PR over region candidates must approach
+    1.0 after brief training (SURVEY.md §4 item 2)."""
+    ds = make_countries_like(seed=0)
+    spec = ModelSpec(
+        model_name="RotatE", nentity=ds.nentity, nrelation=ds.nrelation,
+        hidden_dim=32, gamma=0.1, double_entity_embedding=True,
+    )
+    tspec = TrainSpec(
+        negative_sample_size=16, batch_size=64,
+        negative_adversarial_sampling=True,
+    )
+    trainer, _, _, _ = run_training(ds, spec, tspec, steps=400, lr=5e-3)
+    auc = eval_mod.countries_auc_pr(trainer.params, spec, ds.test, ds.regions)
+    assert auc > 0.9, auc
+
+
+def test_lr_decay_and_adam_reset_fire():
+    ds = make_clustered_kg(n_clusters=4, entities_per_cluster=6, nrelation=2, seed=2)
+    spec = ModelSpec(
+        model_name="DistMult", nentity=ds.nentity, nrelation=ds.nrelation,
+        hidden_dim=8, gamma=6.0,
+    )
+    tspec = TrainSpec(negative_sample_size=4, batch_size=16)
+    trainer, _, _, _ = run_training(ds, spec, tspec, steps=21, lr=1e-3, warm_up=10)
+    # decay fired once at step index 10: lr/10, warm_up*3, fresh Adam count
+    np.testing.assert_allclose(trainer.current_learning_rate, 1e-4)
+    assert trainer.warm_up_steps == 30
+    # Adam count restarted after the reset: 21 steps total, reset after
+    # step index 10 completed => 10 steps since reset
+    assert int(trainer.opt_state.count) == 10
