@@ -1,0 +1,135 @@
+"""Checkpoint save / resume.
+
+Mirrors the reference's checkpoint *contents* exactly (reference:
+codes/run.py §save_model ≈L103-130 and the ``-init`` resume path in §main):
+
+  - ``config.json``    — vars(args) round-trip (override_config semantics)
+  - ``checkpoint.npz`` — step, current_learning_rate, warm_up_steps, both
+    embedding tables, pRotatE modulus, and the FULL Adam state (moments +
+    per-instance step count) so resume is bit-exact
+  - ``entity_embedding.npy`` / ``relation_embedding.npy`` — the reference's
+    de-facto serving artifact, kept byte-compatible (plain .npy tables)
+
+The storage format is npz rather than a torch pickle: host-portable,
+mmap-able, and trivially shardable (each host can write its table rows; see
+parallel/sharding.py for the sharded variant).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+from .config import RunConfig
+from .optim import AdamState
+from .train import Trainer
+
+# args whose saved values override the CLI on resume
+# (codes/run.py §override_config ≈L83-100). We additionally carry ``gamma``:
+# the reference stores gamma inside model_state_dict (it is a non-trainable
+# nn.Parameter, codes/model.py ≈L35), so torch.load restores it implicitly;
+# here gamma lives in the jit-static ModelSpec, so the config round-trip is
+# the equivalent restore path.
+OVERRIDE_KEYS = (
+    "countries",
+    "data_path",
+    "model",
+    "double_entity_embedding",
+    "double_relation_embedding",
+    "hidden_dim",
+    "gamma",
+    "test_batch_size",
+)
+
+
+def save_config(config: RunConfig, save_path: str) -> None:
+    os.makedirs(save_path, exist_ok=True)
+    with open(os.path.join(save_path, "config.json"), "w") as f:
+        json.dump(dataclasses.asdict(config), f, indent=2)
+
+
+def override_config(config: RunConfig) -> RunConfig:
+    """Apply the saved model hyperparameters on resume while keeping the
+    rest of the CLI args (codes/run.py §override_config)."""
+    with open(os.path.join(config.init_checkpoint, "config.json")) as f:
+        saved = json.load(f)
+    for k in OVERRIDE_KEYS:
+        if k in saved:
+            setattr(config, k, saved[k])
+    if config.data_path is None:
+        config.data_path = saved.get("data_path")
+    return config
+
+
+def _flatten_state(trainer: Trainer) -> dict:
+    arrays = {
+        "step": np.int64(trainer.step),
+        "current_learning_rate": np.float64(trainer.current_learning_rate),
+        "warm_up_steps": np.int64(trainer.warm_up_steps),
+        "adam_count": np.asarray(trainer.opt_state.count),
+    }
+    for name, val in trainer.params.items():
+        arrays[f"param.{name}"] = np.asarray(val)
+    for name, val in trainer.opt_state.m.items():
+        arrays[f"adam_m.{name}"] = np.asarray(val)
+    for name, val in trainer.opt_state.v.items():
+        arrays[f"adam_v.{name}"] = np.asarray(val)
+    return arrays
+
+
+def save_model(trainer: Trainer, config: RunConfig, save_path: str) -> None:
+    """config.json + checkpoint.npz + the two .npy table exports
+    (codes/run.py §save_model)."""
+    save_config(config, save_path)
+    arrays = _flatten_state(trainer)
+    np.savez(os.path.join(save_path, "checkpoint.npz"), **arrays)
+    np.save(
+        os.path.join(save_path, "entity_embedding.npy"),
+        np.asarray(trainer.params["entity_embedding"]),
+    )
+    np.save(
+        os.path.join(save_path, "relation_embedding.npy"),
+        np.asarray(trainer.params["relation_embedding"]),
+    )
+
+
+def load_checkpoint(path: str) -> Tuple[dict, AdamState, int, float, int]:
+    """Returns (params, adam_state, step, lr, warm_up_steps)."""
+    z = np.load(os.path.join(path, "checkpoint.npz"))
+    params = {}
+    m = {}
+    v = {}
+    for key in z.files:
+        if key.startswith("param."):
+            params[key[len("param."):]] = jax.numpy.asarray(z[key])
+        elif key.startswith("adam_m."):
+            m[key[len("adam_m."):]] = jax.numpy.asarray(z[key])
+        elif key.startswith("adam_v."):
+            v[key[len("adam_v."):]] = jax.numpy.asarray(z[key])
+    state = AdamState(count=jax.numpy.asarray(z["adam_count"]), m=m, v=v)
+    return (
+        params,
+        state,
+        int(z["step"]),
+        float(z["current_learning_rate"]),
+        int(z["warm_up_steps"]),
+    )
+
+
+def restore_trainer(
+    trainer: Trainer, path: str
+) -> Trainer:
+    """In-place restore of a Trainer from a checkpoint dir (the reference's
+    ``-init`` path: model + optimizer state + step/lr/warm_up)."""
+    params, state, step, lr, warm_up = load_checkpoint(path)
+    trainer.params = params
+    trainer.opt_state = state
+    trainer.step = step
+    trainer.current_learning_rate = lr
+    trainer.warm_up_steps = warm_up
+    return trainer

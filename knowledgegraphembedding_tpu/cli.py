@@ -1,0 +1,239 @@
+"""Command-line entry point, flag-compatible with the reference
+(reference: codes/run.py §parse_args ≈L27-80 and §main ≈L180-360) so that
+``best_config.sh`` lines translate mechanically. TPU-native extensions are
+added under their own flags and default off.
+
+Usage:
+  python -m knowledgegraphembedding_tpu.cli --do_train --do_valid \
+      --data_path data/FB15k-237 --model RotatE -de \
+      -n 256 -b 1024 -d 1000 -g 9.0 -a 1.0 -adv -lr 0.00005 \
+      --max_steps 100000 -save models/RotatE_FB15k-237_0 --test_batch_size 16
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import logging
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+
+from .config import RunConfig
+
+
+def parse_args(argv=None) -> RunConfig:
+    p = argparse.ArgumentParser(
+        description="Training and Testing Knowledge Graph Embedding Models (TPU-native)",
+        usage="cli.py [<args>] [-h | --help]",
+    )
+    p.add_argument("--cuda", action="store_true",
+                   help="accepted for reference compatibility; the TPU backend ignores it")
+    p.add_argument("--do_train", action="store_true")
+    p.add_argument("--do_valid", action="store_true")
+    p.add_argument("--do_test", action="store_true")
+    p.add_argument("--evaluate_train", action="store_true",
+                   help="Evaluate on training data")
+    p.add_argument("--countries", action="store_true",
+                   help="Use Countries S1/S2/S3 datasets")
+    p.add_argument("--regions", type=int, nargs="+", default=None,
+                   help="Region Id for Countries S1/S2/S3 datasets, DO NOT MANUALLY SET")
+    p.add_argument("--data_path", type=str, default=None)
+    p.add_argument("--model", default="TransE", type=str)
+    p.add_argument("-de", "--double_entity_embedding", action="store_true")
+    p.add_argument("-dr", "--double_relation_embedding", action="store_true")
+    p.add_argument("-n", "--negative_sample_size", default=128, type=int)
+    p.add_argument("-d", "--hidden_dim", default=500, type=int)
+    p.add_argument("-g", "--gamma", default=12.0, type=float)
+    p.add_argument("-adv", "--negative_adversarial_sampling", action="store_true")
+    p.add_argument("-a", "--adversarial_temperature", default=1.0, type=float)
+    p.add_argument("-b", "--batch_size", default=1024, type=int)
+    p.add_argument("-r", "--regularization", default=0.0, type=float)
+    p.add_argument("--test_batch_size", default=4, type=int,
+                   help="valid/test batch size")
+    p.add_argument("--uni_weight", action="store_true",
+                   help="Otherwise use subsampling weighting like word2vec")
+    p.add_argument("-lr", "--learning_rate", default=0.0001, type=float)
+    p.add_argument("-cpu", "--cpu_num", default=10, type=int)
+    p.add_argument("-init", "--init_checkpoint", default=None, type=str)
+    p.add_argument("-save", "--save_path", default=None, type=str)
+    p.add_argument("--max_steps", default=100000, type=int)
+    p.add_argument("--warm_up_steps", default=None, type=int)
+    p.add_argument("--save_checkpoint_steps", default=10000, type=int)
+    p.add_argument("--valid_steps", default=10000, type=int)
+    p.add_argument("--log_steps", default=100, type=int, help="train log every xx steps")
+    p.add_argument("--test_log_steps", default=1000, type=int,
+                   help="valid/test log every xx steps")
+    p.add_argument("--nentity", type=int, default=0,
+                   help="DO NOT MANUALLY SET")
+    p.add_argument("--nrelation", type=int, default=0,
+                   help="DO NOT MANUALLY SET")
+    # --- TPU-native extensions ---
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--eval_chunk_size", type=int, default=4096)
+    p.add_argument("--num_shards", type=int, default=1,
+                   help="entity-table row shards / data-parallel degree over the device mesh")
+    p.add_argument("--use_pallas", action="store_true",
+                   help="fused Pallas gather+score kernels on the train path")
+    p.add_argument("--prefetch_depth", type=int, default=4)
+    ns = p.parse_args(argv)
+    return RunConfig(**vars(ns))
+
+
+def main(argv=None) -> dict:
+    """The orchestration flow of codes/run.py §main, returning the final
+    metrics dict (handy for tests)."""
+    # Imports deferred so `--help` stays instant.
+    import jax
+    import jax.numpy as jnp
+
+    from . import checkpoint as ckpt_mod
+    from . import eval as eval_mod
+    from .data.filterset import FilterSets
+    from .data.vocab import load_dataset
+    from .models import kge
+    from .sampler import build_train_iterator
+    from .train import Trainer
+    from .utils.logging import log_metrics, set_logger
+
+    config = parse_args(argv)
+
+    # --- validation (codes/run.py §main ≈L182-190) ---
+    if not (config.do_train or config.do_valid or config.do_test):
+        raise ValueError("one of train/val/test mode must be chosen")
+    if config.init_checkpoint:
+        config = ckpt_mod.override_config(config)
+    elif config.data_path is None:
+        raise ValueError("one of init_checkpoint/data_path must be chosen")
+    if config.do_train and config.save_path is None:
+        raise ValueError("Where do you want to save your trained model?")
+
+    set_logger(config.save_path, config.do_train)
+
+    # --- data (codes/run.py §main ≈L190-235) ---
+    ds = load_dataset(config.data_path, countries=config.countries)
+    config.nentity = ds.nentity
+    config.nrelation = ds.nrelation
+    if config.countries:
+        config.regions = ds.regions
+
+    logging.info("Model: %s", config.model)
+    logging.info("Data Path: %s", config.data_path)
+    logging.info("#entity: %d", ds.nentity)
+    logging.info("#relation: %d", ds.nrelation)
+    logging.info("#train: %d", len(ds.train))
+    logging.info("#valid: %d", len(ds.valid))
+    logging.info("#test: %d", len(ds.test))
+
+    spec = config.model_spec()
+    tspec = config.train_spec()
+    filters = FilterSets.build(ds.train, ds.all_true_triples, ds.nentity, ds.nrelation)
+
+    params = kge.init_params(spec, jax.random.PRNGKey(config.seed))
+    warm_up = config.warm_up_steps if config.warm_up_steps else config.max_steps // 2
+    trainer = Trainer(spec, tspec, params, lr=config.learning_rate, warm_up_steps=warm_up)
+
+    if config.init_checkpoint:
+        logging.info("Loading checkpoint %s...", config.init_checkpoint)
+        ckpt_mod.restore_trainer(trainer, config.init_checkpoint)
+    else:
+        logging.info("Randomly Initializing %s Model...", config.model)
+
+    step = trainer.step
+    logging.info("Start Training...")
+    logging.info("init_step = %d", step)
+    logging.info("batch_size = %d", config.batch_size)
+    logging.info(
+        "negative_adversarial_sampling = %s", config.negative_adversarial_sampling
+    )
+    logging.info("hidden_dim = %d", config.hidden_dim)
+    logging.info("gamma = %f", config.gamma)
+    if config.negative_adversarial_sampling:
+        logging.info("adversarial_temperature = %f", config.adversarial_temperature)
+
+    final_metrics = {}
+
+    if config.do_train:
+        logging.info("learning_rate = %f", trainer.current_learning_rate)
+        it = build_train_iterator(
+            ds.train, ds.nentity, ds.nrelation,
+            config.batch_size, config.negative_sample_size, filters,
+            seed=config.seed, prefetch_depth=config.prefetch_depth,
+        )
+        training_logs = []
+        t_last = time.time()
+        n_since = 0
+        for step in range(trainer.step, config.max_steps):
+            pos, neg, w, mode = next(it)
+            logs = trainer.one_step(
+                (jnp.asarray(pos), jnp.asarray(neg), jnp.asarray(w), mode)
+            )
+            training_logs.append(logs)
+            n_since += 1
+
+            if (step + 1) % config.save_checkpoint_steps == 0:
+                ckpt_mod.save_model(trainer, config, config.save_path)
+
+            if (step + 1) % config.log_steps == 0:
+                # device sync happens here only — logs were device arrays
+                metrics = {
+                    k: float(np.mean([float(lg[k]) for lg in training_logs]))
+                    for k in training_logs[0]
+                }
+                dt = time.time() - t_last
+                metrics["triples_per_sec"] = n_since * config.batch_size / dt
+                log_metrics("Training average", step, metrics)
+                training_logs = []
+                t_last = time.time()
+                n_since = 0
+
+            if config.do_valid and (step + 1) % config.valid_steps == 0:
+                logging.info("Evaluating on Valid Dataset...")
+                metrics = _evaluate(
+                    trainer.params, spec, config, ds.valid, ds, filters, eval_mod
+                )
+                log_metrics("Valid", step, metrics)
+
+        it.close()
+        ckpt_mod.save_model(trainer, config, config.save_path)
+
+    if config.do_valid:
+        logging.info("Evaluating on Valid Dataset...")
+        metrics = _evaluate(trainer.params, spec, config, ds.valid, ds, filters, eval_mod)
+        log_metrics("Valid", trainer.step, metrics)
+        final_metrics["valid"] = metrics
+
+    if config.do_test:
+        logging.info("Evaluating on Test Dataset...")
+        metrics = _evaluate(trainer.params, spec, config, ds.test, ds, filters, eval_mod)
+        log_metrics("Test", trainer.step, metrics)
+        final_metrics["test"] = metrics
+
+    if config.evaluate_train:
+        logging.info("Evaluating on Training Dataset...")
+        metrics = _evaluate(trainer.params, spec, config, ds.train, ds, filters, eval_mod)
+        log_metrics("Test", trainer.step, metrics)
+        final_metrics["train"] = metrics
+
+    return final_metrics
+
+
+def _evaluate(params, spec, config, triples, ds, filters, eval_mod) -> dict:
+    """Dispatch: countries AUC-PR vs filtered link prediction
+    (codes/model.py §test_step's two branches)."""
+    if config.countries:
+        auc = eval_mod.countries_auc_pr(params, spec, triples, config.regions)
+        return {"auc_pr": auc}
+    return eval_mod.test_step(
+        params, spec, triples, filters,
+        test_batch_size=config.test_batch_size,
+        eval_chunk_size=config.eval_chunk_size,
+        test_log_steps=config.test_log_steps,
+        logger=logging.getLogger(),
+    )
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

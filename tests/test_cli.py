@@ -1,0 +1,89 @@
+"""CLI integration: full train->save->resume->test flow through the
+reference-compatible flag surface, on a generated reference-format dataset
+directory (SURVEY.md §2.2 run.py behaviors)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from knowledgegraphembedding_tpu import cli
+from knowledgegraphembedding_tpu.data.synthetic import make_clustered_kg, make_countries_like
+from knowledgegraphembedding_tpu.data.vocab import load_dataset, save_dataset
+
+
+def test_parse_args_defaults_match_reference():
+    cfg = cli.parse_args(["--do_train", "--data_path", "x", "-save", "s"])
+    assert cfg.negative_sample_size == 128
+    assert cfg.hidden_dim == 500
+    assert cfg.gamma == 12.0
+    assert cfg.adversarial_temperature == 1.0
+    assert cfg.batch_size == 1024
+    assert cfg.regularization == 0.0
+    assert cfg.test_batch_size == 4
+    assert cfg.learning_rate == 0.0001
+    assert cfg.cpu_num == 10
+    assert cfg.max_steps == 100000
+    assert cfg.warm_up_steps is None
+    assert cfg.save_checkpoint_steps == 10000
+    assert cfg.valid_steps == 10000
+    assert cfg.log_steps == 100
+    assert cfg.test_log_steps == 1000
+    assert not cfg.negative_adversarial_sampling
+    assert not cfg.uni_weight
+
+
+def test_validation_errors(tmp_path):
+    with pytest.raises(ValueError, match="one of train/val/test"):
+        cli.main(["--data_path", "x"])
+    with pytest.raises(ValueError, match="init_checkpoint/data_path"):
+        cli.main(["--do_test"])
+    with pytest.raises(ValueError, match="save your trained model"):
+        cli.main(["--do_train", "--data_path", "x"])
+
+
+def test_full_train_valid_test_flow(tmp_path):
+    ds = make_clustered_kg(n_clusters=4, entities_per_cluster=6, nrelation=2, seed=3)
+    data_dir = str(tmp_path / "data")
+    save_dir = str(tmp_path / "save")
+    save_dataset(ds, data_dir)
+
+    loaded = load_dataset(data_dir)
+    assert loaded.nentity == ds.nentity
+    np.testing.assert_array_equal(np.sort(loaded.train, 0), np.sort(ds.train, 0))
+
+    metrics = cli.main([
+        "--do_train", "--do_valid", "--do_test",
+        "--data_path", data_dir, "--model", "RotatE", "-de",
+        "-n", "8", "-b", "32", "-d", "8", "-g", "4.0", "-adv",
+        "-lr", "0.01", "--max_steps", "60", "--warm_up_steps", "40",
+        "--test_batch_size", "4", "--eval_chunk_size", "16",
+        "--log_steps", "20", "--valid_steps", "50",
+        "--save_checkpoint_steps", "50",
+        "-save", save_dir,
+    ])
+    assert "valid" in metrics and "test" in metrics
+    assert 0 < metrics["test"]["MRR"] <= 1
+    for fname in ("config.json", "checkpoint.npz", "entity_embedding.npy",
+                  "relation_embedding.npy", "train.log"):
+        assert os.path.exists(os.path.join(save_dir, fname)), fname
+
+    # resume-and-test through -init (codes/run.py §override_config path)
+    metrics2 = cli.main(["--do_test", "-init", save_dir, "--eval_chunk_size", "16"])
+    assert abs(metrics2["test"]["MRR"] - metrics["test"]["MRR"]) < 1e-6
+
+
+def test_countries_flow(tmp_path):
+    ds = make_countries_like(seed=0)
+    data_dir = str(tmp_path / "data")
+    save_dir = str(tmp_path / "save")
+    save_dataset(ds, data_dir)
+    metrics = cli.main([
+        "--do_train", "--do_test", "--countries",
+        "--data_path", data_dir, "--model", "pRotatE",
+        "-n", "8", "-b", "32", "-d", "16", "-g", "0.1", "-adv",
+        "-lr", "0.01", "--max_steps", "150", "--log_steps", "50",
+        "-save", save_dir,
+    ])
+    assert "auc_pr" in metrics["test"]
+    assert metrics["test"]["auc_pr"] > 0.5  # >> chance (~0.2) after 150 steps
