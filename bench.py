@@ -1,0 +1,104 @@
+"""Headline benchmark: RotatE train-step throughput on one TPU chip.
+
+Config matches BASELINE.json's metric: 256 negatives, hidden_dim 1000
+(double entity embedding -> 2000-wide table), batch 1024, self-adversarial
+loss, dense Adam — i.e. the reference's RotatE FB15k-237 best_config shape
+on a synthetic graph at FB15k-237 scale (14541 entities, 237 relations).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no throughput numbers (SURVEY.md §6), so
+``vs_baseline`` reports the fraction of the HBM-bandwidth roofline this
+step achieves (1.0 == speed of light for the memory traffic the step
+fundamentally requires on this chip).
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def hbm_roofline_triples_per_sec(spec, B, n, hbm_gbps):
+    """Bytes each train step must move through HBM, at minimum:
+      fwd:  gather B*(n+2) entity rows + B relation rows
+      bwd:  scatter-add the same rows' gradients (read+write dense tables
+            is counted in the Adam term)
+      adam: read params+m+v and write params+m+v for both whole tables
+            (dense torch-Adam semantics, SURVEY.md §3.1)
+    """
+    de = spec.entity_dim * 4
+    dr = spec.relation_dim * 4
+    E, R = spec.nentity, spec.nrelation
+    gather = B * (n + 2) * de + B * dr
+    bwd = gather  # grad contributions re-read/written once
+    table_bytes = E * de + R * dr
+    adam = 6 * 3 * table_bytes / 3  # read p,m,v + write p,m,v = 6x tables
+    total = gather + bwd + adam
+    steps_per_sec = hbm_gbps * 1e9 / total
+    return steps_per_sec * B
+
+
+def main():
+    from knowledgegraphembedding_tpu.config import ModelSpec, TrainSpec
+    from knowledgegraphembedding_tpu.data.filterset import FilterSets
+    from knowledgegraphembedding_tpu.data.synthetic import make_random_kg
+    from knowledgegraphembedding_tpu.models import kge
+    from knowledgegraphembedding_tpu.sampler import build_train_iterator
+    from knowledgegraphembedding_tpu.train import Trainer
+
+    B, n, d = 1024, 256, 1000
+    ds = make_random_kg(nentity=14541, nrelation=237, ntriples=272115 // 2,
+                        n_valid=1000, n_test=1000, seed=0)
+    spec = ModelSpec(
+        model_name="RotatE", nentity=ds.nentity, nrelation=ds.nrelation,
+        hidden_dim=d, gamma=9.0, double_entity_embedding=True,
+    )
+    tspec = TrainSpec(
+        negative_sample_size=n, batch_size=B,
+        negative_adversarial_sampling=True, adversarial_temperature=1.0,
+    )
+    filters = FilterSets.build(ds.train, ds.all_true_triples, ds.nentity, ds.nrelation)
+    params = kge.init_params(spec, jax.random.PRNGKey(0))
+    trainer = Trainer(spec, tspec, params, lr=5e-5, warm_up_steps=10**9)
+    it = build_train_iterator(
+        ds.train, ds.nentity, ds.nrelation, B, n, filters, prefetch_depth=6
+    )
+
+    def step():
+        pos, neg, w, mode = next(it)
+        return trainer.one_step(
+            (jnp.asarray(pos), jnp.asarray(neg), jnp.asarray(w), mode)
+        )
+
+    # warmup: compile both modes
+    for _ in range(6):
+        logs = step()
+    jax.block_until_ready(logs["loss"])
+
+    n_steps = 30
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        logs = step()
+    jax.block_until_ready(logs["loss"])
+    dt = time.perf_counter() - t0
+    it.close()
+
+    triples_per_sec = n_steps * B / dt
+    # v5e HBM ~ 819 GB/s; detect other chips crudely from the device kind
+    kind = jax.devices()[0].device_kind.lower()
+    hbm = 819.0 if "v5 lite" in kind or "v5e" in kind else 819.0
+    roofline = hbm_roofline_triples_per_sec(spec, B, n, hbm)
+    print(json.dumps({
+        "metric": "train triples/sec/chip (RotatE d=1000 -de, n=256, B=1024, adv, dense Adam)",
+        "value": round(triples_per_sec, 1),
+        "unit": "triples/s",
+        "vs_baseline": round(triples_per_sec / roofline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,157 @@
+"""Multi-chip sharding over a ``jax.sharding.Mesh``.
+
+The reference is strictly single-device (SURVEY.md §2.3: no
+torch.distributed/NCCL anywhere); this module is the from-scratch TPU scale
+path demanded by the north star:
+
+  - 1-D mesh over the ``data`` axis (chips within a slice ride ICI; multiple
+    hosts extend the same axis over DCN via ``jax.distributed.initialize``).
+  - **Entity table row-sharded**: ``PartitionSpec('data', None)`` — the KGE
+    analogue of expert/vocab parallelism. Adam moments shard identically, so
+    the dense per-shard update touches only local HBM.
+  - **Relation table + modulus replicated**: relation grads are combined by
+    GSPMD with a ``psum`` over ``data``.
+  - **Triple stream edge-partitioned**: pos/neg/weight batches sharded on
+    the batch axis (each host samples its shard; the driver here shards a
+    host-global batch).
+  - Gathers from the row-sharded table are partitioned by GSPMD/XLA into
+    collective gather/all-to-all exchanges — the 'annotate shardings, let
+    XLA insert collectives' recipe. (A hand-scheduled shard_map/ragged
+    all-to-all variant is the planned optimization once this baseline is
+    profiled.)
+
+Everything compiles and runs identically on the virtual
+``--xla_force_host_platform_device_count=8`` CPU mesh used in CI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import ModelSpec, TrainSpec
+from ..models import kge
+from .. import optim
+from ..train import loss_and_logs
+
+DATA_AXIS = "data"
+
+
+def build_mesh(n_devices: Optional[int] = None) -> Mesh:
+    """1-D device mesh over the data axis."""
+    devs = np.asarray(jax.devices())
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(devs, (DATA_AXIS,))
+
+
+def param_specs(spec: ModelSpec) -> dict:
+    specs = {
+        "entity_embedding": P(DATA_AXIS, None),  # row-sharded
+        "relation_embedding": P(None, None),  # replicated
+    }
+    if spec.has_modulus:
+        specs["modulus"] = P()
+    return specs
+
+
+def opt_specs(spec: ModelSpec) -> optim.AdamState:
+    ps = param_specs(spec)
+    return optim.AdamState(count=P(), m=dict(ps), v=dict(ps))
+
+
+def batch_specs() -> Tuple:
+    return P(DATA_AXIS, None), P(DATA_AXIS, None), P(DATA_AXIS)
+
+
+def _named(mesh: Mesh, tree_specs):
+    return jax.tree.map(
+        lambda s: NamedSharding(mesh, s),
+        tree_specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def shard_params(params: kge.Params, spec: ModelSpec, mesh: Mesh) -> kge.Params:
+    """Place an (unsharded) param pytree onto the mesh. Entity rows must
+    divide the mesh for even layout; pad_entities() handles ragged tables."""
+    sh = _named(mesh, param_specs(spec))
+    return jax.tree.map(jax.device_put, params, sh)
+
+
+def shard_opt_state(state: optim.AdamState, spec: ModelSpec, mesh: Mesh) -> optim.AdamState:
+    sh = _named(mesh, opt_specs(spec))
+    return jax.tree.map(jax.device_put, state, sh)
+
+
+def shard_batch(mesh: Mesh, pos, neg, weight):
+    pos_s, neg_s, w_s = batch_specs()
+    return (
+        jax.device_put(pos, NamedSharding(mesh, pos_s)),
+        jax.device_put(neg, NamedSharding(mesh, neg_s)),
+        jax.device_put(weight, NamedSharding(mesh, w_s)),
+    )
+
+
+def make_sharded_train_step(spec: ModelSpec, tspec: TrainSpec, mesh: Mesh, mode: str):
+    """jit-compiled SPMD train step with explicit in/out shardings.
+
+    The functional body is IDENTICAL to the single-chip path
+    (train.loss_and_logs + optim.apply_update) — only the placement
+    annotations differ; GSPMD inserts the collectives (row-gather exchange
+    for entity lookups, psum for replicated relation grads, psum for the
+    batch-reduced loss terms).
+    """
+    p_specs = param_specs(spec)
+    o_specs = opt_specs(spec)
+    pos_s, neg_s, w_s = batch_specs()
+
+    def step(params, opt_state, pos, neg, weight, lr):
+        grad_fn = jax.value_and_grad(
+            lambda p: loss_and_logs(p, spec, tspec, pos, neg, weight, mode),
+            has_aux=True,
+        )
+        (_, logs), grads = grad_fn(params)
+        params, opt_state = optim.apply_update(params, grads, opt_state, lr)
+        return params, opt_state, logs
+
+    in_sh = (
+        _named(mesh, p_specs),
+        _named(mesh, o_specs),
+        NamedSharding(mesh, pos_s),
+        NamedSharding(mesh, neg_s),
+        NamedSharding(mesh, w_s),
+        NamedSharding(mesh, P()),
+    )
+    out_sh = (
+        _named(mesh, p_specs),
+        _named(mesh, o_specs),
+        None,  # scalar logs: let XLA replicate
+    )
+    return jax.jit(step, in_shardings=in_sh, out_shardings=out_sh)
+
+
+def pad_params(params: kge.Params, n_shards: int) -> kge.Params:
+    """Zero-pad the entity table's row count up to a multiple of the shard
+    count so the row-shard is even. ``spec.nentity`` stays the LOGICAL
+    count: the sampler only draws ids < nentity, eval masks candidates >=
+    nentity, and zero pad rows contribute exactly 0 to the L3 regularizer
+    (|0|^3) and receive 0 gradient, so they stay zero forever — no parity
+    drift."""
+    ent = params["entity_embedding"]
+    E = ent.shape[0]
+    Epad = -(-E // n_shards) * n_shards
+    if Epad != E:
+        params = dict(params)
+        params["entity_embedding"] = jnp.pad(ent, ((0, Epad - E), (0, 0)))
+    return params
+
+
+def replicate_to_host(params: kge.Params) -> kge.Params:
+    """Gather a (possibly sharded) param tree to host numpy (checkpointing)."""
+    return jax.tree.map(lambda x: np.asarray(jax.device_get(x)), params)
