@@ -74,16 +74,25 @@ def main():
             (jnp.asarray(pos), jnp.asarray(neg), jnp.asarray(w), mode)
         )
 
-    # warmup: compile both modes
-    for _ in range(6):
-        logs = step()
-    jax.block_until_ready(logs["loss"])
+    # NB: on the remote-TPU tunnel this machine uses, dispatch is fully
+    # async and block_until_ready can return before compute drains; the only
+    # reliable fence is materializing a value that depends on the updated
+    # parameters. `probe` pulls 4 bytes of the entity table.
+    probe = jax.jit(lambda x: jnp.sum(x[:1, :1]))
 
-    n_steps = 30
+    def drain():
+        return float(probe(trainer.params["entity_embedding"]))
+
+    # warmup: compile both modes + the probe
+    for _ in range(6):
+        step()
+    drain()
+
+    n_steps = 50
     t0 = time.perf_counter()
     for _ in range(n_steps):
-        logs = step()
-    jax.block_until_ready(logs["loss"])
+        step()
+    drain()
     dt = time.perf_counter() - t0
     it.close()
 

@@ -133,7 +133,8 @@ def make_sharded_train_step(spec: ModelSpec, tspec: TrainSpec, mesh: Mesh, mode:
         _named(mesh, o_specs),
         None,  # scalar logs: let XLA replicate
     )
-    return jax.jit(step, in_shardings=in_sh, out_shardings=out_sh)
+    return jax.jit(step, in_shardings=in_sh, out_shardings=out_sh,
+                   donate_argnums=(0, 1))
 
 
 def pad_params(params: kge.Params, n_shards: int) -> kge.Params:

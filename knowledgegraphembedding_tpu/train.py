@@ -49,7 +49,11 @@ def loss_and_logs(
     return loss, logs
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "tspec", "mode"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec", "tspec", "mode"),
+    donate_argnames=("params", "opt_state"),
+)
 def train_step(
     params: kge.Params,
     opt_state: optim.AdamState,
@@ -79,7 +83,10 @@ class Trainer:
                  warm_up_steps: int, init_step: int = 0):
         self.spec = spec
         self.tspec = tspec
-        self.params = params
+        # train_step donates its params/opt_state buffers (in-place update on
+        # device); the Trainer takes ownership with a one-time copy so the
+        # caller's pytree stays valid.
+        self.params = jax.tree.map(jnp.copy, params)
         self.opt_state = optim.init_state(params)
         self.current_learning_rate = lr
         self.warm_up_steps = warm_up_steps

@@ -57,8 +57,9 @@ def test_sharded_step_matches_single_chip(mesh, model, de, dr, reg, mode):
     )
     lr = jnp.float32(1e-2)
 
-    # single-chip reference trajectory (2 steps)
-    p1 = params
+    # single-chip reference trajectory (2 steps); train_step donates its
+    # inputs, so hand it a copy and keep `params` alive for the sharded run
+    p1 = jax.tree.map(jnp.copy, params)
     s1 = optim.init_state(p1)
     for _ in range(2):
         p1, s1, logs1 = train_step(
