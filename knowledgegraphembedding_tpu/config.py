@@ -90,6 +90,12 @@ class TrainSpec:
     adversarial_temperature: float = 1.0
     uni_weight: bool = False
     regularization: float = 0.0
+    # TPU-native scoring strategy for the negative branch:
+    #   'gather' — reference-shaped row gather + elementwise reduce
+    #   'dense'  — bilinear models only: one MXU matmul against the whole
+    #              entity table + take (ops/matmul_scoring.py)
+    #   'auto'   — dense for DistMult/ComplEx when it is cheaper
+    scoring: str = "auto"
 
 
 @dataclasses.dataclass

@@ -28,6 +28,7 @@ import numpy as np
 from .config import ModelSpec
 from .data.filterset import FilterSets
 from .models import kge, scorers
+from .ops import matmul_scoring
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -49,6 +50,20 @@ def ranks_batch(
     rel = params["relation_embedding"]
     E = spec.nentity
     n_chunks = _cdiv(E, chunk)
+
+    if matmul_scoring.supports_dense(spec.model_name):
+        # Bilinear models: one MXU matmul scores every candidate at once —
+        # no candidate-axis loop at all (ops/matmul_scoring.py).
+        scores = matmul_scoring.dense_scores_all(spec, params, pos, mode)  # [B, Etab]
+        Etab = scores.shape[1]
+        true_ids = pos[:, 0] if mode == scorers.HEAD_BATCH else pos[:, 2]
+        true_score = jnp.take_along_axis(scores, true_ids[:, None], axis=1)
+        ids = jax.lax.broadcasted_iota(jnp.int32, (1, Etab), 1)
+        mask = filter_mask[:, :Etab]
+        if mask.shape[1] < Etab:
+            mask = jnp.pad(mask, ((0, 0), (0, Etab - mask.shape[1])))
+        beats = (scores > true_score) & (ids < E) & (~mask)
+        return jnp.sum(beats, axis=1, dtype=jnp.int32) + 1
 
     # Score the true entity through the SAME mode-specific grouped form the
     # candidates use: in the reference the true entity sits inside the one

@@ -1,0 +1,119 @@
+"""MXU dense-scoring path for bilinear scorers (DistMult, ComplEx).
+
+The reference scores negatives by gathering one embedding row per
+(positive, negative) pair and reducing elementwise (codes/model.py
+§DistMult/§ComplEx) — on TPU that is an HBM-gather-bound pattern
+(~B·n·d·4 bytes of random row reads). But both scorers are *bilinear*:
+
+    DistMult:  s(h, r, t) = <h ∘ r, t>
+    ComplEx:   s(h, r, t) = Re(<h ∘ r, conj(t)>) = <phi(h, r), psi(t)>
+
+so scores against ANY set of candidates are one matmul with the entity
+table. On a 197-TFLOP MXU, scoring against ALL E entities —
+``(h∘r) [B,d] @ table.T [d,E]`` — costs ~B·E·d MACs ≈ 0.3 ms at our
+benchmark shape, ~40x cheaper than gathering 256 sampled rows per positive.
+The sampled negatives' scores are then a trivial [B,n] take from [B,E].
+The backward is three more matmuls (no scatter at all: dtable = dSᵀ @ phi).
+
+This changes the reduction order (matmul accumulation) but not the math;
+scores match the gather path to float tolerance.
+
+Used automatically by the train step for DistMult/ComplEx when
+``B*(dense_cost) < gather_cost`` heuristics hold (practically: always at
+reference scales), and by the evaluator, whose candidate set IS all
+entities.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from ..config import ModelSpec
+
+DENSE_MODELS = ("DistMult", "ComplEx")
+
+
+def supports_dense(model_name: str) -> bool:
+    return model_name in DENSE_MODELS
+
+
+def _split2(x):
+    half = x.shape[-1] // 2
+    return x[..., :half], x[..., half:]
+
+
+def phi(model_name: str, h: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
+    """Left factor of the bilinear form, one row per positive.
+
+    DistMult: phi = h * r                        (psi(t) = t)
+    ComplEx:  s = <re_h∘re_r - im_h∘im_r, re_t> + <re_h∘im_r + im_h∘re_r, im_t>
+              so phi = concat(re_h*re_r - im_h*im_r, re_h*im_r + im_h*re_r)
+              against psi(t) = t's natural (re, im) concat layout.
+    """
+    if model_name == "DistMult":
+        return h * r
+    if model_name == "ComplEx":
+        re_h, im_h = _split2(h)
+        re_r, im_r = _split2(r)
+        return jnp.concatenate(
+            [re_h * re_r - im_h * im_r, re_h * im_r + im_h * re_r], axis=-1
+        )
+    raise ValueError(f"{model_name} has no dense bilinear form")
+
+
+def phi_for_mode(model_name: str, fixed: jnp.ndarray, rel: jnp.ndarray, mode: str):
+    """Left factor when the CANDIDATE side varies.
+
+    tail-batch: candidates are tails  -> phi(h, r) as above.
+    head-batch: candidates are heads  -> s = <phi'(t, r), h> with
+      DistMult: phi' = r * t (symmetric product)
+      ComplEx:  s = Re(<h, r ∘ conj(t)>)... regroup onto the head:
+                re-part: re_h * (re_r*re_t + im_r*im_t)
+                im-part: im_h * (re_r*im_t - im_r*re_t)
+                so phi' = concat(re_r*re_t + im_r*im_t, re_r*im_t - im_r*re_t)
+    """
+    if mode == "tail-batch":
+        return phi(model_name, fixed, rel)
+    if model_name == "DistMult":
+        return rel * fixed
+    re_r, im_r = _split2(rel)
+    re_t, im_t = _split2(fixed)
+    return jnp.concatenate(
+        [re_r * re_t + im_r * im_t, re_r * im_t - im_r * re_t], axis=-1
+    )
+
+
+def dense_scores_all(
+    spec: ModelSpec,
+    params,
+    pos: jnp.ndarray,  # i32[B, 3]
+    mode: str,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """f32[B, E]: scores of every entity as the corrupted slot."""
+    ent = params["entity_embedding"]
+    rel = jnp.take(params["relation_embedding"], pos[:, 1], axis=0)
+    fixed_ids = pos[:, 2] if mode == "head-batch" else pos[:, 0]
+    fixed = jnp.take(ent, fixed_ids, axis=0)
+    left = phi_for_mode(spec.model_name, fixed, rel, mode)
+    return jnp.dot(
+        left.astype(compute_dtype),
+        ent.T.astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def dense_negative_scores(
+    spec: ModelSpec,
+    params,
+    pos: jnp.ndarray,  # i32[B, 3]
+    neg: jnp.ndarray,  # i32[B, n]
+    mode: str,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """f32[B, n] — same result as the gather path's forward(…, mode), via
+    one [B, E] matmul + a take along the entity axis."""
+    all_scores = dense_scores_all(spec, params, pos, mode, compute_dtype)
+    return jnp.take_along_axis(all_scores, neg, axis=1)

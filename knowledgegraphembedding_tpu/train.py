@@ -26,7 +26,24 @@ import jax.numpy as jnp
 from .config import ModelSpec, TrainSpec
 from .models import kge, scorers
 from .ops import loss as loss_ops
+from .ops import matmul_scoring
 from . import optim
+
+
+def use_dense_scoring(spec: ModelSpec, tspec: TrainSpec) -> bool:
+    """Dense (MXU matmul vs whole table) beats the row gather when the
+    matmul's B·E·d MACs cost less than streaming B·n·d·4 random bytes —
+    roughly when E < ~100·n on v5e (MXU ~2 orders cheaper per element than
+    random HBM reads)."""
+    if tspec.scoring == "gather":
+        return False
+    if not matmul_scoring.supports_dense(spec.model_name):
+        if tspec.scoring == "dense":
+            raise ValueError(f"{spec.model_name} has no dense bilinear form")
+        return False
+    if tspec.scoring == "dense":
+        return True
+    return spec.nentity <= 100 * tspec.negative_sample_size
 
 
 def loss_and_logs(
@@ -38,7 +55,12 @@ def loss_and_logs(
     weight: jnp.ndarray,  # f32[B]
     mode: str,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    negative_score = kge.forward(params, spec, (pos, neg), mode)
+    if use_dense_scoring(spec, tspec):
+        negative_score = matmul_scoring.dense_negative_scores(
+            spec, params, pos, neg, mode
+        )
+    else:
+        negative_score = kge.forward(params, spec, (pos, neg), mode)
     positive_score = kge.forward(params, spec, pos, scorers.SINGLE)
     loss, logs = loss_ops.kge_loss(positive_score, negative_score, weight, tspec)
     if tspec.regularization != 0.0:
