@@ -112,6 +112,15 @@ def main(argv=None) -> dict:
 
     set_logger(config.save_path, config.do_train)
 
+    from . import native as native_mod
+
+    if native_mod.available():
+        native_mod.set_threads(config.cpu_num)
+        logging.info(
+            "native sampler: enabled (%d OpenMP threads)",
+            native_mod.openmp_threads(),
+        )
+
     # --- data (codes/run.py §main ≈L190-235) ---
     ds = load_dataset(config.data_path, countries=config.countries)
     config.nentity = ds.nentity

@@ -74,8 +74,18 @@ class TrainSampler:
         mode: str,
         filters: FilterSets,
         seed: int = 0,
+        backend: str = "auto",  # 'auto' | 'native' | 'numpy'
     ):
         assert mode in (HEAD_BATCH, TAIL_BATCH)
+        assert backend in ("auto", "native", "numpy")
+        if backend == "numpy":
+            self._native = False
+        else:
+            from .. import native as native_mod
+
+            self._native = native_mod.available()
+            if backend == "native" and not self._native:
+                raise RuntimeError("native sampler library unavailable")
         self.triples = np.asarray(triples, np.int32)
         self.nentity = nentity
         self.batch_size = batch_size
@@ -85,6 +95,17 @@ class TrainSampler:
         self.rng = np.random.default_rng(seed)
         self.weights = subsampling_weights(self.triples, nrelation)
         self._order = np.empty(0, np.int64)
+        # Encoded train-true set for the vectorized membership test:
+        # tail-batch key (h, r) -> encode (h*R + r)*E + t
+        # head-batch key (r, t) -> encode (r*E + t)*E + h
+        h = self.triples[:, 0].astype(np.int64)
+        r = self.triples[:, 1].astype(np.int64)
+        t = self.triples[:, 2].astype(np.int64)
+        if mode == TAIL_BATCH:
+            self._true_enc = np.sort((h * nrelation + r) * nentity + t)
+        else:
+            self._true_enc = np.sort((r * nentity + t) * nentity + h)
+        self.nrelation = nrelation
 
     def _next_indices(self) -> np.ndarray:
         while self._order.size < self.batch_size:
@@ -104,27 +125,52 @@ class TrainSampler:
         neg = self._sample_negatives_batch(pos)
         return pos, neg, weight, self.mode
 
+    def _row_keys(self, pos: np.ndarray) -> np.ndarray:
+        """Per-row composite key for the encoded membership test."""
+        h = pos[:, 0].astype(np.int64)
+        r = pos[:, 1].astype(np.int64)
+        t = pos[:, 2].astype(np.int64)
+        if self.mode == TAIL_BATCH:
+            return h * self.nrelation + r
+        return r * self.nentity + t
+
+    def _member(self, keys: np.ndarray, cand: np.ndarray) -> np.ndarray:
+        """bool mask of candidates that collide with train-true triples.
+        One searchsorted over the whole [B, k] matrix — the vectorized
+        replacement for the reference's per-row np.in1d loop
+        (codes/dataloader.py ≈L42-58)."""
+        enc = keys[:, None] * self.nentity + cand
+        idx = np.searchsorted(self._true_enc, enc)
+        idx_c = np.minimum(idx, len(self._true_enc) - 1)
+        return (self._true_enc[idx_c] == enc) & (idx < len(self._true_enc))
+
     def _sample_negatives_batch(self, pos: np.ndarray) -> np.ndarray:
-        """Vectorized rejection sampling over the whole batch: one big
-        uniform draw, per-row filter via a merged isin, per-row top-up only
-        where the filter bit."""
+        """Batch rejection sampling, fully vectorized: draw 2n per row, mask
+        collisions via one encoded searchsorted, stable-sort non-collisions
+        to the front, redraw only the (rare) rows still short. Identical
+        per-slot distribution to the reference's loop: iid uniform over the
+        non-true entities."""
         B, n = pos.shape[0], self.n
-        neg = np.empty((B, n), np.int32)
-        # Draw 2n per row up front; most rows finish in one round.
+        keys = self._row_keys(pos)
+        if self._native:
+            from .. import native as native_mod
+
+            return native_mod.sample_negatives(
+                self._true_enc, keys, self.nentity, n,
+                seed=int(self.rng.integers(0, 2**63)),
+            )
         cand = self.rng.integers(0, self.nentity, size=(B, 2 * n))
-        for i in range(B):
-            h, r, t = (int(x) for x in pos[i])
-            if self.mode == HEAD_BATCH:
-                true = self.filters.train_true_heads(r, t)
-            else:
-                true = self.filters.train_true_tails(h, r)
-            row = cand[i]
-            ok = row[np.isin(row, true, invert=True)]
-            while ok.size < n:
+        ok = ~self._member(keys, cand)
+        order = np.argsort(~ok, axis=1, kind="stable")  # ok columns first
+        neg = np.take_along_axis(cand, order[:, :n], axis=1).astype(np.int32)
+        short = np.nonzero(ok.sum(axis=1) < n)[0]
+        for i in short:  # statistically near-never at real sparsities
+            row = cand[i][ok[i]]
+            while row.size < n:
                 extra = self.rng.integers(0, self.nentity, size=2 * n)
-                extra = extra[np.isin(extra, true, invert=True)]
-                ok = np.concatenate([ok, extra])
-            neg[i] = ok[:n]
+                m = self._member(keys[i : i + 1], extra[None, :])[0]
+                row = np.concatenate([row, extra[~m]])
+            neg[i] = row[:n]
         return neg
 
 
