@@ -78,6 +78,14 @@ def parse_args(argv=None) -> RunConfig:
     p.add_argument("--use_pallas", action="store_true",
                    help="fused Pallas gather+score kernels on the train path")
     p.add_argument("--prefetch_depth", type=int, default=4)
+    p.add_argument("--scoring", type=str, default="auto",
+                   choices=["auto", "gather", "dense"],
+                   help="negative-scoring strategy (dense = MXU matmul vs whole table)")
+    p.add_argument("--precision", type=str, default="f32",
+                   choices=["f32", "bf16"],
+                   help="bf16 = mixed-precision compute with f32 master weights")
+    p.add_argument("--sampler_backend", type=str, default="auto",
+                   choices=["auto", "native", "numpy"])
     ns = p.parse_args(argv)
     return RunConfig(**vars(ns))
 
@@ -170,6 +178,7 @@ def main(argv=None) -> dict:
             ds.train, ds.nentity, ds.nrelation,
             config.batch_size, config.negative_sample_size, filters,
             seed=config.seed, prefetch_depth=config.prefetch_depth,
+            backend=config.sampler_backend,
         )
         training_logs = []
         t_last = time.time()

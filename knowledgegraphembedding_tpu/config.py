@@ -96,6 +96,10 @@ class TrainSpec:
     #              entity table + take (ops/matmul_scoring.py)
     #   'auto'   — dense for DistMult/ComplEx when it is cheaper
     scoring: str = "auto"
+    # 'f32' (reference parity) or 'bf16' (mixed precision: bf16 gathers and
+    # score math with f32 reductions, f32 master weights + Adam — the
+    # standard TPU recipe; halves the HBM-bound gather/scatter traffic).
+    precision: str = "f32"
 
 
 @dataclasses.dataclass
@@ -143,6 +147,9 @@ class RunConfig:
     num_shards: int = 1  # entity-table row shards / data-parallel degree
     use_pallas: bool = False  # fused Pallas gather+score kernels
     prefetch_depth: int = 4  # host->device sampler pipeline depth
+    scoring: str = "auto"  # negative-scoring strategy (see TrainSpec.scoring)
+    precision: str = "f32"  # 'f32' | 'bf16' (see TrainSpec.precision)
+    sampler_backend: str = "auto"  # 'auto' | 'native' | 'numpy'
 
     def model_spec(self) -> ModelSpec:
         return ModelSpec(
@@ -163,4 +170,6 @@ class RunConfig:
             adversarial_temperature=self.adversarial_temperature,
             uni_weight=self.uni_weight,
             regularization=self.regularization,
+            scoring=self.scoring,
+            precision=self.precision,
         )

@@ -57,6 +57,7 @@ def forward(
     spec: ModelSpec,
     sample,
     mode: str = scorers.SINGLE,
+    compute_dtype=None,
 ) -> jnp.ndarray:
     """Mode-dependent gather + score (codes/model.py §KGEModel.forward).
 
@@ -65,9 +66,17 @@ def forward(
       (negatives replace the *head*)
     - ``tail-batch``: sample = (pos i32[B, 3], neg i32[B, n]) -> f32[B, n]
       (negatives replace the *tail*)
+
+    ``compute_dtype=jnp.bfloat16`` casts the tables before the gather (the
+    cast copy is materialized once; the B·n row gather then moves half the
+    HBM bytes) and runs the elementwise score math in bf16 with f32
+    reductions (scorers force f32 sum accumulation). Scores return f32.
     """
     ent = params["entity_embedding"]
     rel = params["relation_embedding"]
+    if compute_dtype is not None and ent.dtype != compute_dtype:
+        ent = ent.astype(compute_dtype)
+        rel = rel.astype(compute_dtype)
     if mode == scorers.SINGLE:
         pos = sample
         h = _gather(ent, pos[:, 0])[:, None, :]

@@ -48,7 +48,7 @@ def transe(h, r, t, gamma: float, mode: str):
         score = h + (r - t)
     else:
         score = (h + r) - t
-    return gamma - jnp.sum(jnp.abs(score), axis=-1)
+    return gamma - jnp.sum(jnp.abs(score), axis=-1, dtype=jnp.float32)
 
 
 def distmult(h, r, t, mode: str):
@@ -57,7 +57,7 @@ def distmult(h, r, t, mode: str):
         score = h * (r * t)
     else:
         score = (h * r) * t
-    return jnp.sum(score, axis=-1)
+    return jnp.sum(score, axis=-1, dtype=jnp.float32)
 
 
 def complex_(h, r, t, mode: str):
@@ -73,7 +73,7 @@ def complex_(h, r, t, mode: str):
         re_score = re_h * re_r - im_h * im_r
         im_score = re_h * im_r + im_h * re_r
         score = re_score * re_t + im_score * im_t
-    return jnp.sum(score, axis=-1)
+    return jnp.sum(score, axis=-1, dtype=jnp.float32)
 
 
 def rotate(h, r, t, gamma: float, embedding_range: float, mode: str):
@@ -97,8 +97,13 @@ def rotate(h, r, t, gamma: float, embedding_range: float, mode: str):
         # h ∘ r - t
         re_score = re_h * re_r - im_h * im_r - re_t
         im_score = re_h * im_r + im_h * re_r - im_t
-    mag = jnp.sqrt(re_score * re_score + im_score * im_score)
-    return gamma - jnp.sum(mag, axis=-1)
+    # Zero-guarded magnitude: sqrt' at 0 is NaN in raw autodiff, but the
+    # reference's torch .norm(dim=0) uses the subgradient-0 convention at 0
+    # (and bf16 rounding makes exact zeros likely). max() keeps the value
+    # identical to sqrt(sq) for any sq >= 1e-30 and sends the grad to 0 at 0.
+    sq = re_score * re_score + im_score * im_score
+    mag = jnp.sqrt(jnp.maximum(sq, jnp.asarray(1e-30, sq.dtype)))
+    return gamma - jnp.sum(mag, axis=-1, dtype=jnp.float32)
 
 
 def protate(h, r, t, gamma: float, embedding_range: float, modulus, mode: str):
@@ -113,7 +118,7 @@ def protate(h, r, t, gamma: float, embedding_range: float, modulus, mode: str):
     else:
         score = (ph + pr) - pt
     score = jnp.abs(jnp.sin(score))
-    return gamma - jnp.sum(score, axis=-1) * modulus
+    return gamma - jnp.sum(score, axis=-1, dtype=jnp.float32) * modulus
 
 
 def score_fn(

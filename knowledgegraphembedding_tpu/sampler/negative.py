@@ -252,15 +252,16 @@ def build_train_iterator(
     filters: FilterSets,
     seed: int = 0,
     prefetch_depth: int = 4,
+    backend: str = "auto",
 ):
     """The analogue of codes/run.py §main's two-DataLoader construction."""
     head = TrainSampler(
         train, nentity, nrelation, batch_size, negative_sample_size,
-        HEAD_BATCH, filters, seed=seed,
+        HEAD_BATCH, filters, seed=seed, backend=backend,
     )
     tail = TrainSampler(
         train, nentity, nrelation, batch_size, negative_sample_size,
-        TAIL_BATCH, filters, seed=seed + 1,
+        TAIL_BATCH, filters, seed=seed + 1, backend=backend,
     )
     it = BidirectionalIterator(head, tail)
     if prefetch_depth > 0:

@@ -55,13 +55,15 @@ def loss_and_logs(
     weight: jnp.ndarray,  # f32[B]
     mode: str,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    compute_dtype = jnp.bfloat16 if tspec.precision == "bf16" else None
     if use_dense_scoring(spec, tspec):
         negative_score = matmul_scoring.dense_negative_scores(
-            spec, params, pos, neg, mode
+            spec, params, pos, neg, mode,
+            compute_dtype=compute_dtype or jnp.float32,
         )
     else:
-        negative_score = kge.forward(params, spec, (pos, neg), mode)
-    positive_score = kge.forward(params, spec, pos, scorers.SINGLE)
+        negative_score = kge.forward(params, spec, (pos, neg), mode, compute_dtype)
+    positive_score = kge.forward(params, spec, pos, scorers.SINGLE, compute_dtype)
     loss, logs = loss_ops.kge_loss(positive_score, negative_score, weight, tspec)
     if tspec.regularization != 0.0:
         reg = loss_ops.l3_regularization(params, tspec.regularization)
