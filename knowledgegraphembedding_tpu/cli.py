@@ -86,6 +86,10 @@ def parse_args(argv=None) -> RunConfig:
                    help="bf16 = mixed-precision compute with f32 master weights")
     p.add_argument("--sampler_backend", type=str, default="auto",
                    choices=["auto", "native", "numpy"])
+    p.add_argument("--negative_sharing", type=str, default="none",
+                   choices=["none", "batch"],
+                   help="'batch' shares one negative set across the batch "
+                        "(PBG-style, unfiltered) — the high-throughput mode")
     ns = p.parse_args(argv)
     return RunConfig(**vars(ns))
 
@@ -179,6 +183,7 @@ def main(argv=None) -> dict:
             config.batch_size, config.negative_sample_size, filters,
             seed=config.seed, prefetch_depth=config.prefetch_depth,
             backend=config.sampler_backend,
+            negative_sharing=config.negative_sharing,
         )
         training_logs = []
         t_last = time.time()

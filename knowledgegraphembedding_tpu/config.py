@@ -150,6 +150,7 @@ class RunConfig:
     scoring: str = "auto"  # negative-scoring strategy (see TrainSpec.scoring)
     precision: str = "f32"  # 'f32' | 'bf16' (see TrainSpec.precision)
     sampler_backend: str = "auto"  # 'auto' | 'native' | 'numpy'
+    negative_sharing: str = "none"  # 'none' (reference) | 'batch' (shared negs)
 
     def model_spec(self) -> ModelSpec:
         return ModelSpec(

@@ -75,9 +75,12 @@ class TrainSampler:
         filters: FilterSets,
         seed: int = 0,
         backend: str = "auto",  # 'auto' | 'native' | 'numpy'
+        negative_sharing: str = "none",  # 'none' (reference) | 'batch' (PBG-style)
     ):
         assert mode in (HEAD_BATCH, TAIL_BATCH)
         assert backend in ("auto", "native", "numpy")
+        assert negative_sharing in ("none", "batch")
+        self.negative_sharing = negative_sharing
         if backend == "numpy":
             self._native = False
         else:
@@ -122,7 +125,16 @@ class TrainSampler:
         idx = self._next_indices()
         pos = self.triples[idx]
         weight = self.weights[idx]
-        neg = self._sample_negatives_batch(pos)
+        if self.negative_sharing == "batch":
+            # PBG/DGL-KE-style shared negatives: ONE uniform candidate set
+            # for the whole batch, unfiltered (false-negative rate is
+            # avg_true/nentity, negligible on real KGs). Shape [1, n]
+            # broadcasts against [B, ...] through the scorers, so the device
+            # gathers n rows instead of B*n — the throughput mode; the
+            # reference's per-positive filtered sampling stays the default.
+            neg = self.rng.integers(0, self.nentity, size=(1, self.n)).astype(np.int32)
+        else:
+            neg = self._sample_negatives_batch(pos)
         return pos, neg, weight, self.mode
 
     def _row_keys(self, pos: np.ndarray) -> np.ndarray:
@@ -253,15 +265,18 @@ def build_train_iterator(
     seed: int = 0,
     prefetch_depth: int = 4,
     backend: str = "auto",
+    negative_sharing: str = "none",
 ):
     """The analogue of codes/run.py §main's two-DataLoader construction."""
     head = TrainSampler(
         train, nentity, nrelation, batch_size, negative_sample_size,
         HEAD_BATCH, filters, seed=seed, backend=backend,
+        negative_sharing=negative_sharing,
     )
     tail = TrainSampler(
         train, nentity, nrelation, batch_size, negative_sample_size,
         TAIL_BATCH, filters, seed=seed + 1, backend=backend,
+        negative_sharing=negative_sharing,
     )
     it = BidirectionalIterator(head, tail)
     if prefetch_depth > 0:
