@@ -75,8 +75,9 @@ def parse_args(argv=None) -> RunConfig:
     p.add_argument("--eval_chunk_size", type=int, default=4096)
     p.add_argument("--num_shards", type=int, default=1,
                    help="entity-table row shards / data-parallel degree over the device mesh")
-    p.add_argument("--use_pallas", action="store_true",
-                   help="fused Pallas gather+score kernels on the train path")
+    p.add_argument("--use_pallas", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="fused Pallas ranking kernel at eval (default: auto on TPU)")
     p.add_argument("--prefetch_depth", type=int, default=4)
     p.add_argument("--scoring", type=str, default="auto",
                    choices=["auto", "gather", "dense"],
@@ -255,6 +256,7 @@ def _evaluate(params, spec, config, triples, ds, filters, eval_mod) -> dict:
         eval_chunk_size=config.eval_chunk_size,
         test_log_steps=config.test_log_steps,
         logger=logging.getLogger(),
+        use_pallas=config.use_pallas,
     )
 
 

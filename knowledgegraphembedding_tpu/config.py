@@ -145,7 +145,7 @@ class RunConfig:
     # TPU-native extensions (absent from the reference):
     eval_chunk_size: int = 4096  # candidate-axis chunk for filtered ranking
     num_shards: int = 1  # entity-table row shards / data-parallel degree
-    use_pallas: bool = False  # fused Pallas gather+score kernels
+    use_pallas: Optional[bool] = None  # fused Pallas eval kernel (None = auto on TPU)
     prefetch_depth: int = 4  # host->device sampler pipeline depth
     scoring: str = "auto"  # negative-scoring strategy (see TrainSpec.scoring)
     precision: str = "f32"  # 'f32' | 'bf16' (see TrainSpec.precision)

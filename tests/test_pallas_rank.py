@@ -1,0 +1,81 @@
+"""Pallas fused ranking kernel vs the XLA chunked evaluator: identical
+ranks on the distance family (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from knowledgegraphembedding_tpu import eval as eval_mod
+from knowledgegraphembedding_tpu.config import ModelSpec
+from knowledgegraphembedding_tpu.data.filterset import FilterSets
+from knowledgegraphembedding_tpu.data.synthetic import make_random_kg
+from knowledgegraphembedding_tpu.ops import pallas_rank
+
+CASES = [
+    ("RotatE", True, False, 16),
+    ("TransE", False, False, 16),
+    ("pRotatE", False, False, 16),
+]
+
+
+@pytest.mark.parametrize("model,de,dr,dim", CASES)
+@pytest.mark.parametrize("mode", ["head-batch", "tail-batch"])
+def test_pallas_ranks_match_xla(model, de, dr, dim, mode):
+    ds = make_random_kg(nentity=70, nrelation=4, ntriples=700, seed=3)
+    spec = ModelSpec(
+        model_name=model, nentity=ds.nentity, nrelation=ds.nrelation,
+        hidden_dim=dim, gamma=6.0,
+        double_entity_embedding=de, double_relation_embedding=dr,
+    )
+    rng = np.random.default_rng(0)
+    r = spec.embedding_range
+    params = {
+        "entity_embedding": jnp.asarray(
+            rng.uniform(-r, r, (ds.nentity, spec.entity_dim)).astype(np.float32)),
+        "relation_embedding": jnp.asarray(
+            rng.uniform(-r, r, (ds.nrelation, spec.relation_dim)).astype(np.float32)),
+    }
+    if spec.has_modulus:
+        params["modulus"] = jnp.float32(0.5 * r)
+    filters = FilterSets.build(ds.train, ds.all_true_triples, ds.nentity, ds.nrelation)
+    pos = ds.test[:8]
+    mask = filters.filter_mask_rows(pos, mode)
+    mask_p = eval_mod._pad_mask(mask, 16)
+
+    want = np.asarray(eval_mod.ranks_batch(
+        params, jnp.asarray(pos), jnp.asarray(mask_p),
+        spec=spec, mode=mode, chunk=16,
+    ))
+    got = np.asarray(pallas_rank.ranks_batch_pallas(
+        params, spec, jnp.asarray(pos), jnp.asarray(mask_p), mode,
+        TE=128, interpret=True,
+    ))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_left_rows_head_tail_consistency():
+    """|L - C_true| must equal the true triple's score in either mode."""
+    from knowledgegraphembedding_tpu.models import kge
+
+    ds = make_random_kg(nentity=40, nrelation=3, ntriples=300, seed=1)
+    spec = ModelSpec("RotatE", 40, 3, 8, 4.0, True, False)
+    rng = np.random.default_rng(1)
+    r = spec.embedding_range
+    params = {
+        "entity_embedding": jnp.asarray(rng.uniform(-r, r, (40, 16)).astype(np.float32)),
+        "relation_embedding": jnp.asarray(rng.uniform(-r, r, (3, 8)).astype(np.float32)),
+    }
+    pos = jnp.asarray(ds.test[:6])
+    s_single = np.asarray(kge.forward(params, spec, pos, "single"))[:, 0]
+    for mode in ("head-batch", "tail-batch"):
+        left = pallas_rank.left_rows(params, spec, pos, mode)
+        true_ids = pos[:, 0] if mode == "head-batch" else pos[:, 2]
+        rows = jnp.take(params["entity_embedding"], true_ids, axis=0)
+        half = 8
+        dre = left[:, :half] - rows[:, :half]
+        dim = left[:, half:] - rows[:, half:]
+        got = spec.gamma - np.asarray(
+            jnp.sum(jnp.sqrt(dre**2 + dim**2), axis=-1))
+        np.testing.assert_allclose(got, s_single, rtol=1e-4, atol=1e-4)
