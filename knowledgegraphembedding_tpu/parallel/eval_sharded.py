@@ -1,0 +1,178 @@
+"""Multi-chip filtered ranking: candidate axis sharded over the mesh.
+
+The reference evaluates on one device (codes/model.py §test_step). Here the
+full-entity candidate axis — the O(E) part — shards across chips: the
+entity table is already row-sharded for training (sharding.py), each device
+counts score-beats among ITS rows, and one ``psum`` over the mesh yields
+exact global ranks (SURVEY.md §5.7: no argsort, no gather of the full row).
+
+Everything candidate-independent (the L rows / bilinear phi rows and the
+true-triple score) is tiny [B, d] work computed replicated before the
+``shard_map`` region.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..config import ModelSpec
+from ..data.filterset import FilterSets
+from ..models import scorers
+from ..ops import matmul_scoring, pallas_rank
+from .sharding import DATA_AXIS
+
+from .. import eval as eval_mod
+
+
+def _left_and_true(params, spec: ModelSpec, pos, mode: str):
+    """Replicated per-positive precompute: (left rows, true score, true ids).
+
+    distance family: left = L such that score(c) = gamma - sum f(L - c̃)
+    bilinear family: left = phi such that score(c) = <phi, c>
+    """
+    true_ids = pos[:, 0] if mode == scorers.HEAD_BATCH else pos[:, 2]
+    if matmul_scoring.supports_dense(spec.model_name):
+        rel = jnp.take(params["relation_embedding"], pos[:, 1], axis=0)
+        fixed_ids = pos[:, 2] if mode == scorers.HEAD_BATCH else pos[:, 0]
+        fixed = jnp.take(params["entity_embedding"], fixed_ids, axis=0)
+        left = matmul_scoring.phi_for_mode(spec.model_name, fixed, rel, mode)
+        true_rows = jnp.take(params["entity_embedding"], true_ids, axis=0)
+        true_score = jnp.sum(left * true_rows, axis=-1)
+        return left, true_score, true_ids
+    left = pallas_rank.left_rows(params, spec, pos, mode)
+    true_rows = jnp.take(params["entity_embedding"], true_ids, axis=0)
+    name = spec.model_name
+    if name == "RotatE":
+        half = left.shape[-1] // 2
+        dre = left[:, :half] - true_rows[:, :half]
+        dim = left[:, half:] - true_rows[:, half:]
+        sq = dre * dre + dim * dim
+        mag = jnp.where(sq > 0, jnp.sqrt(jnp.maximum(sq, 1e-30)), 0.0)
+        true_score = spec.gamma - jnp.sum(mag, axis=-1, dtype=jnp.float32)
+    elif name == "TransE":
+        true_score = spec.gamma - jnp.sum(jnp.abs(left - true_rows), axis=-1,
+                                          dtype=jnp.float32)
+    else:  # pRotatE
+        inv_scale = pallas_rank.PI / spec.embedding_range
+        true_score = spec.gamma - params["modulus"] * jnp.sum(
+            jnp.abs(jnp.sin(left - true_rows * inv_scale)), axis=-1,
+            dtype=jnp.float32,
+        )
+    return left, true_score, true_ids
+
+
+def _local_scores(table_local, left, spec: ModelSpec, modulus):
+    """f32[B, E_local]: scores of the local candidate rows."""
+    name = spec.model_name
+    if matmul_scoring.supports_dense(name):
+        return jnp.dot(left, table_local.T, preferred_element_type=jnp.float32)
+    if name == "RotatE":
+        half = left.shape[-1] // 2
+        dre = left[:, None, :half] - table_local[None, :, :half]
+        dim = left[:, None, half:] - table_local[None, :, half:]
+        sq = dre * dre + dim * dim
+        mag = jnp.where(sq > 0, jnp.sqrt(jnp.maximum(sq, 1e-30)), 0.0)
+        return spec.gamma - jnp.sum(mag, axis=-1, dtype=jnp.float32)
+    if name == "TransE":
+        return spec.gamma - jnp.sum(
+            jnp.abs(left[:, None, :] - table_local[None, :, :]), axis=-1,
+            dtype=jnp.float32,
+        )
+    inv_scale = pallas_rank.PI / spec.embedding_range
+    return spec.gamma - modulus * jnp.sum(
+        jnp.abs(jnp.sin(left[:, None, :] - table_local[None, :, :] * inv_scale)),
+        axis=-1, dtype=jnp.float32,
+    )
+
+
+def make_sharded_ranks_fn(spec: ModelSpec, mesh, mode: str):
+    """jit-compiled SPMD rank function over a row-sharded (padded) table.
+
+    (params row-sharded as in sharding.param_specs; pos/mask replicated —
+    eval batches are tiny. Returns exact global ranks.)
+    """
+
+    def ranks(params, pos, filter_mask):
+        left, true_score, true_ids = _left_and_true(params, spec, pos, mode)
+        modulus = params.get("modulus", jnp.float32(1.0))
+
+        def local(table_local, left, true_score, true_ids, mask):
+            shard = jax.lax.axis_index(DATA_AXIS)
+            e_local = table_local.shape[0]
+            offset = shard * e_local
+            scores = _local_scores(table_local, left, spec, modulus)
+            ids = offset + jax.lax.broadcasted_iota(
+                jnp.int32, (1, e_local), 1
+            )
+            mask_local = jax.lax.dynamic_slice_in_dim(
+                mask, offset, e_local, axis=1
+            )
+            beats = (
+                (scores > true_score[:, None])
+                & (ids < spec.nentity)
+                & (~mask_local)
+                & (ids != true_ids[:, None])
+            )
+            counts = jnp.sum(beats, axis=1, dtype=jnp.int32)
+            return jax.lax.psum(counts, DATA_AXIS)
+
+        counts = shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(DATA_AXIS, None), P(), P(), P(), P()),
+            out_specs=P(),
+        )(params["entity_embedding"], left, true_score, true_ids, filter_mask)
+        return counts + 1
+
+    table_sh = NamedSharding(mesh, P(DATA_AXIS, None))
+    repl = NamedSharding(mesh, P())
+    param_sh = {"entity_embedding": table_sh, "relation_embedding": repl}
+    if spec.has_modulus:
+        param_sh["modulus"] = repl
+    return jax.jit(
+        ranks,
+        in_shardings=(param_sh, repl, repl),
+        out_shardings=repl,
+    )
+
+
+def sharded_test_step(
+    params,
+    spec: ModelSpec,
+    test_triples: np.ndarray,
+    filters: FilterSets,
+    mesh,
+    test_batch_size: int = 16,
+    modes: Sequence[str] = (scorers.HEAD_BATCH, scorers.TAIL_BATCH),
+) -> Dict[str, float]:
+    """Drop-in multi-chip analogue of eval.test_step. ``params`` must hold
+    the (padded) row-sharded entity table from sharding.shard_params."""
+    n_shards = mesh.devices.size
+    Epad = params["entity_embedding"].shape[0]
+    logs = []
+    fns = {mode: make_sharded_ranks_fn(spec, mesh, mode) for mode in modes}
+    for mode in modes:
+        for i in range(0, len(test_triples), test_batch_size):
+            pos = np.asarray(test_triples[i : i + test_batch_size], np.int32)
+            B = pos.shape[0]
+            if B < test_batch_size:
+                pos_p = np.concatenate(
+                    [pos, np.repeat(pos[-1:], test_batch_size - B, axis=0)]
+                )
+            else:
+                pos_p = pos
+            mask = filters.filter_mask_rows(pos_p, mode)
+            if mask.shape[1] < Epad:
+                mask = np.pad(mask, ((0, 0), (0, Epad - mask.shape[1])))
+            ranks = np.asarray(
+                fns[mode](params, jnp.asarray(pos_p), jnp.asarray(mask))
+            )[:B]
+            logs.extend(eval_mod.metrics_from_ranks(ranks))
+    return {k: float(np.mean([lg[k] for lg in logs])) for k in logs[0]}
