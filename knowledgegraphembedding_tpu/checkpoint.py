@@ -67,17 +67,18 @@ def override_config(config: RunConfig) -> RunConfig:
 
 
 def _flatten_state(trainer: Trainer) -> dict:
+    params, opt_state = trainer.checkpoint_state()
     arrays = {
         "step": np.int64(trainer.step),
         "current_learning_rate": np.float64(trainer.current_learning_rate),
         "warm_up_steps": np.int64(trainer.warm_up_steps),
-        "adam_count": np.asarray(trainer.opt_state.count),
+        "adam_count": np.asarray(opt_state.count),
     }
-    for name, val in trainer.params.items():
+    for name, val in params.items():
         arrays[f"param.{name}"] = np.asarray(val)
-    for name, val in trainer.opt_state.m.items():
+    for name, val in opt_state.m.items():
         arrays[f"adam_m.{name}"] = np.asarray(val)
-    for name, val in trainer.opt_state.v.items():
+    for name, val in opt_state.v.items():
         arrays[f"adam_v.{name}"] = np.asarray(val)
     return arrays
 
@@ -90,11 +91,11 @@ def save_model(trainer: Trainer, config: RunConfig, save_path: str) -> None:
     np.savez(os.path.join(save_path, "checkpoint.npz"), **arrays)
     np.save(
         os.path.join(save_path, "entity_embedding.npy"),
-        np.asarray(trainer.params["entity_embedding"]),
+        arrays["param.entity_embedding"],
     )
     np.save(
         os.path.join(save_path, "relation_embedding.npy"),
-        np.asarray(trainer.params["relation_embedding"]),
+        arrays["param.relation_embedding"],
     )
 
 

@@ -155,11 +155,28 @@ def main(argv=None) -> dict:
 
     params = kge.init_params(spec, jax.random.PRNGKey(config.seed))
     warm_up = config.warm_up_steps if config.warm_up_steps else config.max_steps // 2
-    trainer = Trainer(spec, tspec, params, lr=config.learning_rate, warm_up_steps=warm_up)
+    mesh = None
+    if config.num_shards > 1:
+        from .parallel import sharding as sharding_mod
+
+        mesh = sharding_mod.build_mesh(config.num_shards)
+        logging.info("SPMD mesh: %d devices on axis 'data'", config.num_shards)
+        trainer = sharding_mod.ShardedTrainer(
+            spec, tspec, params, lr=config.learning_rate,
+            warm_up_steps=warm_up, mesh=mesh,
+            shared_negatives=config.negative_sharing == "batch",
+        )
+    else:
+        trainer = Trainer(spec, tspec, params, lr=config.learning_rate,
+                          warm_up_steps=warm_up)
 
     if config.init_checkpoint:
         logging.info("Loading checkpoint %s...", config.init_checkpoint)
-        ckpt_mod.restore_trainer(trainer, config.init_checkpoint)
+        if mesh is not None:
+            p0, s0, step0, lr0, wu0 = ckpt_mod.load_checkpoint(config.init_checkpoint)
+            trainer.load_host_state(p0, s0, step0, lr0, wu0)
+        else:
+            ckpt_mod.restore_trainer(trainer, config.init_checkpoint)
     else:
         logging.info("Randomly Initializing %s Model...", config.model)
 
@@ -216,7 +233,7 @@ def main(argv=None) -> dict:
             if config.do_valid and (step + 1) % config.valid_steps == 0:
                 logging.info("Evaluating on Valid Dataset...")
                 metrics = _evaluate(
-                    trainer.params, spec, config, ds.valid, ds, filters, eval_mod
+                    trainer, spec, config, ds.valid, ds, filters, eval_mod, mesh
                 )
                 log_metrics("Valid", step, metrics)
 
@@ -225,33 +242,42 @@ def main(argv=None) -> dict:
 
     if config.do_valid:
         logging.info("Evaluating on Valid Dataset...")
-        metrics = _evaluate(trainer.params, spec, config, ds.valid, ds, filters, eval_mod)
+        metrics = _evaluate(trainer, spec, config, ds.valid, ds, filters, eval_mod, mesh)
         log_metrics("Valid", trainer.step, metrics)
         final_metrics["valid"] = metrics
 
     if config.do_test:
         logging.info("Evaluating on Test Dataset...")
-        metrics = _evaluate(trainer.params, spec, config, ds.test, ds, filters, eval_mod)
+        metrics = _evaluate(trainer, spec, config, ds.test, ds, filters, eval_mod, mesh)
         log_metrics("Test", trainer.step, metrics)
         final_metrics["test"] = metrics
 
     if config.evaluate_train:
         logging.info("Evaluating on Training Dataset...")
-        metrics = _evaluate(trainer.params, spec, config, ds.train, ds, filters, eval_mod)
+        metrics = _evaluate(trainer, spec, config, ds.train, ds, filters, eval_mod, mesh)
         log_metrics("Test", trainer.step, metrics)
         final_metrics["train"] = metrics
 
     return final_metrics
 
 
-def _evaluate(params, spec, config, triples, ds, filters, eval_mod) -> dict:
+def _evaluate(trainer, spec, config, triples, ds, filters, eval_mod, mesh=None) -> dict:
     """Dispatch: countries AUC-PR vs filtered link prediction
-    (codes/model.py §test_step's two branches)."""
+    (codes/model.py §test_step's two branches); candidate-axis-sharded
+    ranking when training on a mesh."""
     if config.countries:
+        params = trainer.host_params() if mesh is not None else trainer.params
         auc = eval_mod.countries_auc_pr(params, spec, triples, config.regions)
         return {"auc_pr": auc}
+    if mesh is not None:
+        from .parallel import eval_sharded
+
+        return eval_sharded.sharded_test_step(
+            trainer.params, spec, triples, filters, mesh,
+            test_batch_size=config.test_batch_size,
+        )
     return eval_mod.test_step(
-        params, spec, triples, filters,
+        trainer.params, spec, triples, filters,
         test_batch_size=config.test_batch_size,
         eval_chunk_size=config.eval_chunk_size,
         test_log_steps=config.test_log_steps,

@@ -1,0 +1,92 @@
+"""Multi-host runtime bring-up.
+
+The reference has no distributed layer at all (SURVEY.md §2.3). This module
+is the from-scratch equivalent of a NCCL/MPI bootstrap, done the JAX way:
+
+  - ``jax.distributed.initialize`` forms the multi-host runtime (DCN
+    between hosts, ICI within a slice); after it returns, ``jax.devices()``
+    spans the whole pod slice and the 1-D ``data`` mesh from sharding.py
+    simply gets longer — the SPMD train step, collectives, and sharded
+    evaluator are unchanged.
+  - Each host runs its own sampler over its shard of the triple stream
+    (edge partitioning): ``host_shard_of_triples`` deals triples
+    round-robin by host id so the global batch is an even union of
+    per-host batches, and ``host_batch_size`` = global / n_hosts.
+  - ``jax.make_array_from_process_local_data`` assembles the global
+    [B_global, ...] batch from per-host slices without any host ever
+    holding the full batch.
+
+Single-process multi-device (the CI/virtual-device case) needs none of
+this — build_mesh over local devices is enough. These helpers are inert
+(identity) when jax.process_count() == 1, so the same driver script runs
+everywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .sharding import DATA_AXIS
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Bring up the multi-host runtime. On TPU pods the three arguments are
+    auto-detected from the environment; pass them explicitly for CPU/GPU
+    fleets. No-op if already initialized or single-process."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    if coordinator_address is None and num_processes is None:
+        try:
+            jax.distributed.initialize()
+        except (ValueError, RuntimeError):
+            return  # single-host environment
+    else:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+
+
+def host_shard_of_triples(triples: np.ndarray) -> np.ndarray:
+    """Edge-partition the training stream: host k keeps triples k, k+P,
+    k+2P, … (round-robin keeps relation/entity marginals even)."""
+    return triples[jax.process_index() :: jax.process_count()]
+
+
+def host_batch_size(global_batch_size: int) -> int:
+    n = jax.process_count()
+    if global_batch_size % n != 0:
+        raise ValueError(
+            f"global batch {global_batch_size} not divisible by {n} hosts"
+        )
+    return global_batch_size // n
+
+
+def global_batch(mesh: Mesh, local_pos, local_neg, local_weight):
+    """Assemble the global device batch from per-host local slices.
+
+    Single-process: a plain device_put with the batch sharding. Multi-host:
+    ``make_array_from_process_local_data`` — each host contributes its rows,
+    and the result is one global array sharded over the data axis."""
+    pos_sh = NamedSharding(mesh, P(DATA_AXIS, None))
+    w_sh = NamedSharding(mesh, P(DATA_AXIS))
+    if jax.process_count() == 1:
+        return (
+            jax.device_put(local_pos, pos_sh),
+            jax.device_put(local_neg, pos_sh),
+            jax.device_put(local_weight, w_sh),
+        )
+    return (
+        jax.make_array_from_process_local_data(pos_sh, local_pos),
+        jax.make_array_from_process_local_data(pos_sh, local_neg),
+        jax.make_array_from_process_local_data(w_sh, local_weight),
+    )

@@ -65,8 +65,11 @@ def opt_specs(spec: ModelSpec) -> optim.AdamState:
     return optim.AdamState(count=P(), m=dict(ps), v=dict(ps))
 
 
-def batch_specs() -> Tuple:
-    return P(DATA_AXIS, None), P(DATA_AXIS, None), P(DATA_AXIS)
+def batch_specs(shared_negatives: bool = False) -> Tuple:
+    # shared-negative batches are [1, n] and must replicate; per-positive
+    # negatives shard with the batch axis
+    neg = P(None, None) if shared_negatives else P(DATA_AXIS, None)
+    return P(DATA_AXIS, None), neg, P(DATA_AXIS)
 
 
 def _named(mesh: Mesh, tree_specs):
@@ -90,7 +93,7 @@ def shard_opt_state(state: optim.AdamState, spec: ModelSpec, mesh: Mesh) -> opti
 
 
 def shard_batch(mesh: Mesh, pos, neg, weight):
-    pos_s, neg_s, w_s = batch_specs()
+    pos_s, neg_s, w_s = batch_specs(shared_negatives=neg.shape[0] == 1)
     return (
         jax.device_put(pos, NamedSharding(mesh, pos_s)),
         jax.device_put(neg, NamedSharding(mesh, neg_s)),
@@ -98,7 +101,8 @@ def shard_batch(mesh: Mesh, pos, neg, weight):
     )
 
 
-def make_sharded_train_step(spec: ModelSpec, tspec: TrainSpec, mesh: Mesh, mode: str):
+def make_sharded_train_step(spec: ModelSpec, tspec: TrainSpec, mesh: Mesh,
+                            mode: str, shared_negatives: bool = False):
     """jit-compiled SPMD train step with explicit in/out shardings.
 
     The functional body is IDENTICAL to the single-chip path
@@ -109,7 +113,7 @@ def make_sharded_train_step(spec: ModelSpec, tspec: TrainSpec, mesh: Mesh, mode:
     """
     p_specs = param_specs(spec)
     o_specs = opt_specs(spec)
-    pos_s, neg_s, w_s = batch_specs()
+    pos_s, neg_s, w_s = batch_specs(shared_negatives)
 
     def step(params, opt_state, pos, neg, weight, lr):
         grad_fn = jax.value_and_grad(
@@ -156,3 +160,79 @@ def pad_params(params: kge.Params, n_shards: int) -> kge.Params:
 def replicate_to_host(params: kge.Params) -> kge.Params:
     """Gather a (possibly sharded) param tree to host numpy (checkpointing)."""
     return jax.tree.map(lambda x: np.asarray(jax.device_get(x)), params)
+
+
+class ShardedTrainer:
+    """Mesh-parallel drop-in for train.Trainer: same step/LR-decay/Adam-reset
+    semantics (codes/run.py §main ≈L280-340), with the entity table
+    row-sharded and the batch data-parallel. Keeps one compiled program per
+    (mode) thanks to the runtime-scalar learning rate."""
+
+    def __init__(self, spec: ModelSpec, tspec: TrainSpec, params, lr: float,
+                 warm_up_steps: int, mesh: Mesh, init_step: int = 0,
+                 shared_negatives: bool = False):
+        self.spec = spec
+        self.tspec = tspec
+        self.mesh = mesh
+        n = mesh.devices.size
+        self.params = shard_params(pad_params(params, n), spec, mesh)
+        self.opt_state = shard_opt_state(optim.init_state(self.params), spec, mesh)
+        self.current_learning_rate = lr
+        self.warm_up_steps = warm_up_steps
+        self.step = init_step
+        self._fns = {
+            mode: make_sharded_train_step(spec, tspec, mesh, mode,
+                                          shared_negatives=shared_negatives)
+            for mode in ("head-batch", "tail-batch")
+        }
+
+    def host_params(self) -> kge.Params:
+        """Unsharded host copy with padding rows stripped (checkpointing)."""
+        p = replicate_to_host(self.params)
+        p["entity_embedding"] = p["entity_embedding"][: self.spec.nentity]
+        return p
+
+    def checkpoint_state(self):
+        p = self.host_params()
+        E = self.spec.nentity
+        m = {k: np.asarray(v)[:E] if k == "entity_embedding" else np.asarray(v)
+             for k, v in self.opt_state.m.items()}
+        v_ = {k: np.asarray(v)[:E] if k == "entity_embedding" else np.asarray(v)
+              for k, v in self.opt_state.v.items()}
+        state = optim.AdamState(count=np.asarray(self.opt_state.count), m=m, v=v_)
+        return p, state
+
+    def load_host_state(self, params, opt_state, step, lr, warm_up_steps):
+        """Restore from an (unsharded) checkpoint onto the mesh."""
+        n = self.mesh.devices.size
+        self.params = shard_params(pad_params(params, n), self.spec, self.mesh)
+        m = dict(opt_state.m)
+        v = dict(opt_state.v)
+        m["entity_embedding"] = pad_params(
+            {"entity_embedding": m["entity_embedding"]}, n)["entity_embedding"]
+        v["entity_embedding"] = pad_params(
+            {"entity_embedding": v["entity_embedding"]}, n)["entity_embedding"]
+        state = optim.AdamState(count=opt_state.count, m=m, v=v)
+        self.opt_state = shard_opt_state(state, self.spec, self.mesh)
+        self.step = step
+        self.current_learning_rate = lr
+        self.warm_up_steps = warm_up_steps
+
+    def one_step(self, batch):
+        pos, neg, weight, mode = batch
+        step_idx = self.step
+        pos_d, neg_d, w_d = shard_batch(
+            self.mesh, jnp.asarray(pos), jnp.asarray(neg), jnp.asarray(weight)
+        )
+        self.params, self.opt_state, logs = self._fns[mode](
+            self.params, self.opt_state, pos_d, neg_d, w_d,
+            jnp.float32(self.current_learning_rate),
+        )
+        self.step = step_idx + 1
+        if step_idx >= self.warm_up_steps:  # same one-shot decay as Trainer
+            self.current_learning_rate /= 10.0
+            self.opt_state = shard_opt_state(
+                optim.init_state(self.params), self.spec, self.mesh
+            )
+            self.warm_up_steps *= 3
+        return logs

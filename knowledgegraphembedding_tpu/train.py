@@ -116,6 +116,11 @@ class Trainer:
         self.warm_up_steps = warm_up_steps
         self.step = init_step
 
+    def checkpoint_state(self):
+        """(params, opt_state) as stored on this trainer — the checkpoint
+        payload. ShardedTrainer overrides with a padding-stripped host copy."""
+        return self.params, self.opt_state
+
     def one_step(self, batch) -> Dict[str, jnp.ndarray]:
         pos, neg, weight, mode = batch
         step_idx = self.step
