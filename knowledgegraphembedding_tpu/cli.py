@@ -87,6 +87,8 @@ def parse_args(argv=None) -> RunConfig:
                    help="bf16 = mixed-precision compute with f32 master weights")
     p.add_argument("--sampler_backend", type=str, default="auto",
                    choices=["auto", "native", "numpy"])
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="write a jax.profiler trace of the train loop here")
     p.add_argument("--negative_sharing", type=str, default="none",
                    choices=["none", "batch"],
                    help="'batch' shares one negative set across the batch "
@@ -203,9 +205,13 @@ def main(argv=None) -> dict:
             backend=config.sampler_backend,
             negative_sharing=config.negative_sharing,
         )
+        from .utils.profiling import trace as profiler_trace
+
         training_logs = []
         t_last = time.time()
         n_since = 0
+        profile_ctx = profiler_trace(config.profile_dir)
+        profile_ctx.__enter__()
         for step in range(trainer.step, config.max_steps):
             pos, neg, w, mode = next(it)
             logs = trainer.one_step(
@@ -237,6 +243,7 @@ def main(argv=None) -> dict:
                 )
                 log_metrics("Valid", step, metrics)
 
+        profile_ctx.__exit__(None, None, None)
         it.close()
         ckpt_mod.save_model(trainer, config, config.save_path)
 

@@ -151,6 +151,7 @@ class RunConfig:
     precision: str = "f32"  # 'f32' | 'bf16' (see TrainSpec.precision)
     sampler_backend: str = "auto"  # 'auto' | 'native' | 'numpy'
     negative_sharing: str = "none"  # 'none' (reference) | 'batch' (shared negs)
+    profile_dir: Optional[str] = None  # jax.profiler trace output dir
 
     def model_spec(self) -> ModelSpec:
         return ModelSpec(

@@ -78,15 +78,21 @@ def global_batch(mesh: Mesh, local_pos, local_neg, local_weight):
     ``make_array_from_process_local_data`` — each host contributes its rows,
     and the result is one global array sharded over the data axis."""
     pos_sh = NamedSharding(mesh, P(DATA_AXIS, None))
+    # shared-negative batches are [1, n] and replicate (sharding.batch_specs)
+    neg_sh = (
+        NamedSharding(mesh, P(None, None))
+        if local_neg.shape[0] == 1
+        else pos_sh
+    )
     w_sh = NamedSharding(mesh, P(DATA_AXIS))
     if jax.process_count() == 1:
         return (
             jax.device_put(local_pos, pos_sh),
-            jax.device_put(local_neg, pos_sh),
+            jax.device_put(local_neg, neg_sh),
             jax.device_put(local_weight, w_sh),
         )
     return (
         jax.make_array_from_process_local_data(pos_sh, local_pos),
-        jax.make_array_from_process_local_data(pos_sh, local_neg),
+        jax.make_array_from_process_local_data(neg_sh, local_neg),
         jax.make_array_from_process_local_data(w_sh, local_weight),
     )
