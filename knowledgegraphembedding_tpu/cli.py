@@ -13,11 +13,9 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import logging
 import sys
 import time
-from typing import Optional
 
 import numpy as np
 

@@ -1,0 +1,41 @@
+"""Dataset registry: name -> loader.
+
+The reference hardcodes paths under data/<name> (run.sh builds
+``data/$DATASET``); this registry adds the synthetic generators used when
+the canonical TSV datasets are not on disk (zero-egress build machines),
+keyed by a ``synthetic:`` prefix.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from .vocab import Dataset, load_dataset
+from . import synthetic
+
+#: canonical reference dataset directory names (data/<name>/)
+REFERENCE_DATASETS = (
+    "FB15k", "FB15k-237", "wn18", "wn18rr", "YAGO3-10",
+    "countries_S1", "countries_S2", "countries_S3",
+)
+
+SYNTHETIC: Dict[str, Callable[..., Dataset]] = {
+    "random": synthetic.make_random_kg,
+    "clustered": synthetic.make_clustered_kg,
+    "countries": synthetic.make_countries_like,
+    # benchmark-scale stand-ins for the reference datasets
+    "fb15k237-scale": lambda **kw: synthetic.make_random_kg(
+        nentity=14541, nrelation=237, ntriples=272115 // 2,
+        n_valid=1000, n_test=1000, **kw),
+    "yago3-scale": lambda **kw: synthetic.make_random_kg(
+        nentity=123182, nrelation=37, ntriples=200000,
+        n_valid=1000, n_test=1000, **kw),
+}
+
+
+def load(name_or_path: str, countries: bool = False) -> Dataset:
+    """'synthetic:<key>' -> generator; anything else -> reference TSV dir."""
+    if name_or_path.startswith("synthetic:"):
+        key = name_or_path.split(":", 1)[1]
+        return SYNTHETIC[key]()
+    return load_dataset(name_or_path, countries=countries)

@@ -13,7 +13,6 @@ true-triple score) is tiny [B, d] work computed replicated before the
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Sequence
 
 import jax

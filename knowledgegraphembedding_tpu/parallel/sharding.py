@@ -26,7 +26,6 @@ Everything compiles and runs identically on the virtual
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

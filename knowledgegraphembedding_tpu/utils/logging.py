@@ -22,7 +22,7 @@ def set_logger(save_path: str | None, do_train: bool) -> None:
     for h in list(root.handlers):
         root.removeHandler(h)
     fmt = logging.Formatter(
-        "%(asctime)s %(levelname)-8s %(message)s", datefmt="%Y-%m-%d %H:%M:%S"
+        "%(asctime)s %(levelname)s %(message)s", datefmt="%Y-%m-%d %H:%M:%S"
     )
     for h in handlers + [logging.StreamHandler()]:
         h.setFormatter(fmt)
