@@ -87,6 +87,10 @@ def parse_args(argv=None) -> RunConfig:
                    choices=["auto", "native", "numpy"])
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace of the train loop here")
+    p.add_argument("--spmd_mode", type=str, default="gspmd",
+                   choices=["gspmd", "shardmap"],
+                   help="multi-chip step: GSPMD-inferred collectives vs "
+                        "hand-scheduled shard_map (all_gather/psum_scatter)")
     p.add_argument("--negative_sharing", type=str, default="none",
                    choices=["none", "batch"],
                    help="'batch' shares one negative set across the batch "
@@ -165,6 +169,7 @@ def main(argv=None) -> dict:
             spec, tspec, params, lr=config.learning_rate,
             warm_up_steps=warm_up, mesh=mesh,
             shared_negatives=config.negative_sharing == "batch",
+            spmd_mode=config.spmd_mode,
         )
     else:
         trainer = Trainer(spec, tspec, params, lr=config.learning_rate,

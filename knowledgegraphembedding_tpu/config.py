@@ -152,6 +152,10 @@ class RunConfig:
     sampler_backend: str = "auto"  # 'auto' | 'native' | 'numpy'
     negative_sharing: str = "none"  # 'none' (reference) | 'batch' (shared negs)
     profile_dir: Optional[str] = None  # jax.profiler trace output dir
+    # 'gspmd'    — annotate shardings, let XLA insert collectives
+    # 'shardmap' — hand-scheduled collectives (all_gather table fwd,
+    #              psum_scatter grads bwd; parallel/shard_map_step.py)
+    spmd_mode: str = "gspmd"
 
     def model_spec(self) -> ModelSpec:
         return ModelSpec(

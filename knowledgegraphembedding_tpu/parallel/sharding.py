@@ -169,7 +169,7 @@ class ShardedTrainer:
 
     def __init__(self, spec: ModelSpec, tspec: TrainSpec, params, lr: float,
                  warm_up_steps: int, mesh: Mesh, init_step: int = 0,
-                 shared_negatives: bool = False):
+                 shared_negatives: bool = False, spmd_mode: str = "gspmd"):
         self.spec = spec
         self.tspec = tspec
         self.mesh = mesh
@@ -179,9 +179,15 @@ class ShardedTrainer:
         self.current_learning_rate = lr
         self.warm_up_steps = warm_up_steps
         self.step = init_step
+        if spmd_mode == "shardmap":
+            from .shard_map_step import make_shardmap_train_step as make_fn
+        elif spmd_mode == "gspmd":
+            make_fn = make_sharded_train_step
+        else:
+            raise ValueError(f"spmd_mode {spmd_mode!r} not in ('gspmd', 'shardmap')")
         self._fns = {
-            mode: make_sharded_train_step(spec, tspec, mesh, mode,
-                                          shared_negatives=shared_negatives)
+            mode: make_fn(spec, tspec, mesh, mode,
+                          shared_negatives=shared_negatives)
             for mode in ("head-batch", "tail-batch")
         }
 

@@ -110,3 +110,17 @@ def test_sharded_cli_flow(tmp_path):
     # resumed single-device eval must reproduce the sharded-trained model
     metrics2 = cli.main(["--do_test", "-init", save_dir, "--eval_chunk_size", "16"])
     assert abs(metrics2["test"]["MRR"] - metrics["test"]["MRR"]) < 1e-5
+
+    # the hand-scheduled shard_map step drives the same flow and (same seed,
+    # same sampler stream) reproduces the GSPMD-trained model's metrics
+    save_dir3 = str(tmp_path / "save_shardmap")
+    metrics3 = cli.main([
+        "--do_train", "--do_test",
+        "--data_path", data_dir, "--model", "RotatE", "-de",
+        "-n", "8", "-b", "32", "-d", "8", "-g", "4.0", "-adv",
+        "-lr", "0.01", "--max_steps", "40", "--log_steps", "20",
+        "--num_shards", "2", "--test_batch_size", "4",
+        "--spmd_mode", "shardmap",
+        "-save", save_dir3,
+    ])
+    assert abs(metrics3["test"]["MRR"] - metrics["test"]["MRR"]) < 1e-4
