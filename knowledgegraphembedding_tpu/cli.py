@@ -180,6 +180,9 @@ def main(argv=None) -> dict:
         if mesh is not None:
             p0, s0, step0, lr0, wu0 = ckpt_mod.load_checkpoint(config.init_checkpoint)
             trainer.load_host_state(p0, s0, step0, lr0, wu0)
+            from .parallel import multihost
+
+            multihost.verify_consistent_restore(step0, lr0, wu0)
         else:
             ckpt_mod.restore_trainer(trainer, config.init_checkpoint)
     else:

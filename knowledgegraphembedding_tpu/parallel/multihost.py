@@ -71,6 +71,30 @@ def host_batch_size(global_batch_size: int) -> int:
     return global_batch_size // n
 
 
+def verify_consistent_restore(step: int, lr: float, warm_up_steps: int) -> None:
+    """Failure-recovery guard (SURVEY.md §5.3): after a cold resume, every
+    host must have restored the SAME (step, lr, warm_up_steps) — a torn
+    checkpoint (one host a save behind after a mid-save crash) would
+    silently desynchronize the LR schedule and the sampler epoch. Raises on
+    the mismatching hosts; no-op overhead single-process."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    # NB: float32 on purpose — process_allgather rides jax arrays, which
+    # silently downcast float64 when x64 is off; comparing a local float64
+    # against the gathered float32 rows would false-alarm on every fleet.
+    # Compare the gathered rows against each other instead (f32 holds steps
+    # exactly up to 2^24, far past any max_steps).
+    mine = np.asarray([float(step), float(lr), float(warm_up_steps)], np.float32)
+    everyone = np.asarray(multihost_utils.process_allgather(mine))  # [n_hosts, 3]
+    if not (everyone == everyone[0][None, :]).all():
+        raise RuntimeError(
+            f"inconsistent restore across hosts: host {jax.process_index()} "
+            f"has (step, lr, warm_up)={mine.tolist()}, fleet={everyone.tolist()}"
+        )
+
+
 def global_batch(mesh: Mesh, local_pos, local_neg, local_weight):
     """Assemble the global device batch from per-host local slices.
 

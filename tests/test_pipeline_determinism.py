@@ -69,3 +69,30 @@ def test_multihost_helpers_single_process():
     pos_d, neg_d, w_d = multihost.global_batch(mesh, pos, neg, w)
     assert pos_d.sharding.spec == jax.sharding.PartitionSpec("data", None)
     assert neg_d.sharding.spec == jax.sharding.PartitionSpec(None, None)
+
+
+def test_verify_consistent_restore(monkeypatch):
+    """§5.3 failure-recovery guard: no-op single-process; raises when a host
+    restored a different (step, lr, warm_up) tuple (simulated via a mocked
+    2-host allgather)."""
+    import jax
+    import pytest
+    from jax.experimental import multihost_utils
+    from knowledgegraphembedding_tpu.parallel import multihost
+
+    multihost.verify_consistent_restore(100, 1e-4, 50000)  # single-process: ok
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    monkeypatch.setattr(
+        multihost_utils, "process_allgather",
+        lambda x: np.stack([x, x]),
+    )
+    multihost.verify_consistent_restore(100, 1e-4, 50000)  # consistent fleet
+
+    monkeypatch.setattr(
+        multihost_utils, "process_allgather",
+        lambda x: np.stack([x, x * 0 + 7.0]),  # host 1 a save behind
+    )
+    with pytest.raises(RuntimeError, match="inconsistent restore"):
+        multihost.verify_consistent_restore(100, 1e-4, 50000)
