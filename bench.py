@@ -14,6 +14,7 @@ fundamentally requires on this chip).
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -40,6 +41,88 @@ def hbm_roofline_triples_per_sec(spec, B, n, hbm_gbps):
     total = gather + bwd + adam
     steps_per_sec = hbm_gbps * 1e9 / total
     return steps_per_sec * B
+
+
+def _measure_train(model="RotatE", scoring="auto", precision="f32",
+                   negative_sharing="none", B=1024, n=256, d=1000,
+                   n_steps=50, sampler_backend="auto"):
+    """Train-step triples/s for one configuration (FB15k-237 scale)."""
+    from knowledgegraphembedding_tpu.config import ModelSpec, TrainSpec
+    from knowledgegraphembedding_tpu.data.filterset import FilterSets
+    from knowledgegraphembedding_tpu.data.synthetic import make_random_kg
+    from knowledgegraphembedding_tpu.models import kge
+    from knowledgegraphembedding_tpu.sampler import build_train_iterator
+    from knowledgegraphembedding_tpu.train import Trainer
+
+    ds = make_random_kg(nentity=14541, nrelation=237, ntriples=272115 // 2,
+                        n_valid=1000, n_test=1000, seed=0)
+    spec = ModelSpec(
+        model_name=model, nentity=ds.nentity, nrelation=ds.nrelation,
+        hidden_dim=d, gamma=9.0,
+        double_entity_embedding=model in ("RotatE", "ComplEx"),
+        double_relation_embedding=model == "ComplEx",
+    )
+    tspec = TrainSpec(
+        negative_sample_size=n, batch_size=B,
+        negative_adversarial_sampling=True, adversarial_temperature=1.0,
+        scoring=scoring, precision=precision,
+    )
+    filters = FilterSets.build(ds.train, ds.all_true_triples, ds.nentity, ds.nrelation)
+    params = kge.init_params(spec, jax.random.PRNGKey(0))
+    trainer = Trainer(spec, tspec, params, lr=5e-5, warm_up_steps=10**9)
+    it = build_train_iterator(
+        ds.train, ds.nentity, ds.nrelation, B, n, filters, prefetch_depth=6,
+        negative_sharing=negative_sharing, backend=sampler_backend,
+    )
+
+    def step():
+        pos, neg, w, mode = next(it)
+        return trainer.one_step(
+            (jnp.asarray(pos), jnp.asarray(neg), jnp.asarray(w), mode)
+        )
+
+    probe = jax.jit(lambda x: jnp.sum(x[:1, :1]))
+
+    def drain():
+        return float(probe(trainer.params["entity_embedding"]))
+
+    for _ in range(6):
+        step()
+    drain()
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        step()
+    drain()
+    dt = time.perf_counter() - t0
+    it.close()
+    return n_steps * B / dt
+
+
+def matrix():
+    """Full measured matrix (manual use; the driver runs the default
+    single-line mode). One JSON line per configuration."""
+    cases = [
+        dict(name="RotatE gather f32 (reference semantics)", model="RotatE",
+             scoring="gather"),
+        dict(name="RotatE gather f32 + device sampler", model="RotatE",
+             scoring="gather", sampler_backend="device"),
+        dict(name="RotatE gather bf16 + device sampler", model="RotatE",
+             scoring="gather", precision="bf16", sampler_backend="device"),
+        dict(name="RotatE shared negatives f32 + device sampler",
+             model="RotatE", scoring="gather", negative_sharing="batch",
+             sampler_backend="device"),
+        dict(name="DistMult dense MXU f32 (host sampler)", model="DistMult",
+             scoring="dense"),
+        dict(name="DistMult dense MXU f32 + device sampler", model="DistMult",
+             scoring="dense", sampler_backend="device"),
+        dict(name="ComplEx dense MXU f32 + device sampler", model="ComplEx",
+             scoring="dense", sampler_backend="device"),
+    ]
+    for c in cases:
+        name = c.pop("name")
+        tps = _measure_train(**c)
+        print(json.dumps({"metric": f"train triples/s — {name}",
+                          "value": round(tps, 1), "unit": "triples/s"}))
 
 
 def main():
@@ -110,4 +193,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--matrix" in sys.argv:
+        matrix()
+    else:
+        main()

@@ -84,7 +84,9 @@ def parse_args(argv=None) -> RunConfig:
                    choices=["f32", "bf16"],
                    help="bf16 = mixed-precision compute with f32 master weights")
     p.add_argument("--sampler_backend", type=str, default="auto",
-                   choices=["auto", "native", "numpy"])
+                   choices=["auto", "native", "numpy", "device"],
+                   help="'device' runs the whole sampler on the TPU "
+                        "(host ships only a [B] index vector per step)")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace of the train loop here")
     p.add_argument("--spmd_mode", type=str, default="gspmd",
@@ -213,7 +215,14 @@ def main(argv=None) -> dict:
         )
         from .utils.profiling import trace as profiler_trace
 
-        training_logs = []
+        # Per-step logs stay ON DEVICE, folded into one accumulator array by
+        # a single jitted add per step; each log window costs exactly ONE
+        # device->host pull. (Pulling every step's scalars at window end was
+        # measured at ~26 ms of transfer latency per scalar on the
+        # remote-tunnel TPU — it froze fast configs at <10k triples/s.)
+        log_keys: list = []
+        log_acc = None
+        acc_fn = jax.jit(lambda acc, vals: acc + jnp.stack(vals))
         t_last = time.time()
         n_since = 0
         profile_ctx = profiler_trace(config.profile_dir)
@@ -223,22 +232,22 @@ def main(argv=None) -> dict:
             logs = trainer.one_step(
                 (jnp.asarray(pos), jnp.asarray(neg), jnp.asarray(w), mode)
             )
-            training_logs.append(logs)
+            if log_acc is None:
+                log_keys = sorted(logs)
+                log_acc = jnp.zeros(len(log_keys), jnp.float32)
+            log_acc = acc_fn(log_acc, [logs[k] for k in log_keys])
             n_since += 1
 
             if (step + 1) % config.save_checkpoint_steps == 0:
                 ckpt_mod.save_model(trainer, config, config.save_path)
 
             if (step + 1) % config.log_steps == 0:
-                # device sync happens here only — logs were device arrays
-                metrics = {
-                    k: float(np.mean([float(lg[k]) for lg in training_logs]))
-                    for k in training_logs[0]
-                }
+                sums = np.asarray(log_acc)  # the one device sync per window
+                metrics = {k: float(s) / n_since for k, s in zip(log_keys, sums)}
                 dt = time.time() - t_last
                 metrics["triples_per_sec"] = n_since * config.batch_size / dt
                 log_metrics("Training average", step, metrics)
-                training_logs = []
+                log_acc = jnp.zeros(len(log_keys), jnp.float32)
                 t_last = time.time()
                 n_since = 0
 

@@ -1,0 +1,263 @@
+"""On-device (TPU-resident) negative sampler.
+
+The reference samples negatives in DataLoader worker processes and ships
+``[B, 3] + [B, n] + [B]`` tensors to the device every step
+(codes/dataloader.py §TrainDataset.__getitem__ ≈L32-60). The host-side
+samplers here (negative.py, native/) reproduce that; this module is the
+TPU-native endgame: the training triples, the word2vec subsampling weights,
+and the TRAIN-true filter sets all live in HBM, and the whole
+draw→reject→top-up pipeline is ONE jitted program. Per step the host ships
+only a ``[B]`` int32 vector of epoch-permutation indices (~4 KB) — the
+sampling itself costs microseconds of VPU time.
+
+Why this matters on real hardware: host→device transfers have fixed latency
+(PCIe µs; ~26 ms(!) on this build's remote-tunnel TPU — see BENCH_NOTES.md),
+and a fast train step (dense MXU scoring: ~13 ms) is otherwise
+transfer-bound. It also frees the host CPU entirely (this box has one core)
+and gives each device its own sampler shard for multi-host scale-out.
+
+Distribution parity with the reference: negatives are iid uniform over the
+non-true entities, first-n-of-stream order (same contract as the host
+samplers; tests/test_device_sampler.py checks collisions, uniformity, and
+the subsampling-weight formula). RNG is jax threefry rather than numpy —
+SURVEY.md §7 "hard parts": bit-identical sampling with the reference is a
+non-goal, distribution parity is the contract.
+
+Filter-set representation (the piece SURVEY.md §7 assumed was not
+TPU-friendly — it is, with the right layout): a device-resident CSR over
+the composite key
+  tail-batch: key = h·R + r, values = true tails
+  head-batch: key = r·E + t, values = true heads
+with DENSE offset/count arrays indexed by key (key space E·R ≤ 20M int32 at
+reference scales — asserted at build time). Membership per batch is then
+  starts = offsets[keys]                 (B scalar gathers)
+  window = dynamic_slice(values, starts, Kmax)  (B CONTIGUOUS row reads)
+  collided = any(cand == window, masked)        (chunked VPU compare)
+A lexicographic binary search over sorted (key, value) pairs was measured
+first and rejected: its log2(T)·B·2n scalar-granularity gathers run at
+~47 ns each on the TPU (≈460 ms/batch — scalar gathers are the enemy);
+the CSR window form is contiguous reads + pure VPU compares (~1-3 ms).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..data.filterset import subsampling_weights
+from .negative import HEAD_BATCH, TAIL_BATCH
+
+
+class _DeviceCSR:
+    """Device-resident CSR over a dense composite-key space: for key k the
+    true values are ``values[offsets[k] : offsets[k] + counts[k]]``."""
+
+    def __init__(self, keys: np.ndarray, vals: np.ndarray, n_keys: int,
+                 sentinel: int):
+        order = np.argsort(keys, kind="stable")
+        counts = np.bincount(keys, minlength=n_keys).astype(np.int32)
+        offsets = np.zeros(n_keys, np.int64)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        self.k_max = max(int(counts.max()), 1)
+        # pad so every Kmax window slice stays in bounds; sentinel never
+        # matches a candidate (candidates are < nentity)
+        vals_sorted = np.concatenate(
+            [vals[order], np.full(self.k_max, sentinel, np.int32)]
+        )
+        self.values = jnp.asarray(vals_sorted.astype(np.int32))
+        self.offsets = jnp.asarray(offsets.astype(np.int32))
+        self.counts = jnp.asarray(counts)
+
+    def member(self, keys: jnp.ndarray, cand: jnp.ndarray) -> jnp.ndarray:
+        """bool[B, m]: cand[b, j] in the true-value set of keys[b].
+
+        One contiguous Kmax-window read per row + a chunked VPU
+        broadcast-compare (never materializes more than [B, m, CHUNK])."""
+        B, m = cand.shape
+        starts = jnp.take(self.offsets, keys)  # [B]
+        cnts = jnp.take(self.counts, keys)  # [B]
+        windows = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(self.values, (s,), (self.k_max,))
+        )(starts)  # [B, Kmax] — contiguous reads
+        CHUNK = 16
+        n_chunks = -(-self.k_max // CHUNK)
+        pad = n_chunks * CHUNK - self.k_max
+        if pad:
+            windows = jnp.pad(windows, ((0, 0), (0, pad)),
+                              constant_values=-1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+
+        def body(i, acc):
+            wc = jax.lax.dynamic_slice(windows, (0, i * CHUNK), (B, CHUNK))
+            # window positions past this key's count belong to the NEXT
+            # key's values — mask them out or negatives get over-rejected
+            valid = (i * CHUNK + col) < cnts[:, None]  # [B, CHUNK]
+            hit = jnp.any(
+                (cand[:, :, None] == wc[:, None, :]) & valid[:, None, :],
+                axis=-1,
+            )
+            return acc | hit
+
+        return jax.lax.fori_loop(
+            0, n_chunks, body, jnp.zeros((B, m), bool)
+        )
+
+
+class DeviceSampler:
+    """Device-resident train-batch sampler for one corruption mode.
+
+    Host keeps only the epoch permutation stream (same
+    ``DataLoader(shuffle=True)`` + infinite-iterator semantics as
+    negative.py §TrainSampler); everything else happens in one jitted
+    program per mode.
+    """
+
+    def __init__(self, triples: np.ndarray, nentity: int, nrelation: int,
+                 batch_size: int, negative_sample_size: int, mode: str,
+                 seed: int = 0, negative_sharing: str = "none"):
+        assert mode in (HEAD_BATCH, TAIL_BATCH)
+        triples = np.asarray(triples, np.int32)
+        if int(nentity) * int(nrelation) >= 2**31:
+            raise ValueError(
+                "device sampler pair-key space exceeds int32 "
+                f"(E*R = {nentity * nrelation}); use a host sampler backend"
+            )
+        self.mode = mode
+        self.nentity = nentity
+        self.nrelation = nrelation
+        self.batch_size = batch_size
+        self.n = negative_sample_size
+        self.negative_sharing = negative_sharing
+        self.n_train = len(triples)
+
+        h, r, t = triples[:, 0], triples[:, 1], triples[:, 2]
+        if mode == TAIL_BATCH:
+            keys, vals, n_keys = h.astype(np.int64) * nrelation + r, t, nentity * nrelation
+        else:
+            keys, vals, n_keys = r.astype(np.int64) * nentity + t, h, nrelation * nentity
+
+        # device-resident state
+        self.triples = jnp.asarray(triples)
+        self.weights = jnp.asarray(subsampling_weights(triples, nrelation))
+        self.csr = _DeviceCSR(keys.astype(np.int32), vals.astype(np.int32),
+                              n_keys, sentinel=nentity)
+
+        self._key = jax.random.PRNGKey(seed)
+        self._order = np.empty(0, np.int64)
+        self._rng = np.random.default_rng(seed)
+        self._sample = jax.jit(
+            functools.partial(self._sample_impl, self),
+            static_argnums=(),
+        )
+
+    # ---- host side: epoch permutation stream (tiny) ----
+    def _next_indices(self) -> np.ndarray:
+        while self._order.size < self.batch_size:
+            self._order = np.concatenate(
+                [self._order, self._rng.permutation(self.n_train)]
+            )
+        idx, self._order = (
+            self._order[: self.batch_size],
+            self._order[self.batch_size:],
+        )
+        return idx.astype(np.int32)
+
+    # ---- device side: the whole sampling pipeline, jitted ----
+    @staticmethod
+    def _sample_impl(self, rng: jax.Array, idx: jnp.ndarray):
+        pos = jnp.take(self.triples, idx, axis=0)  # [B, 3]
+        weight = jnp.take(self.weights, idx)  # [B]
+        if self.negative_sharing == "batch":
+            neg = jax.random.randint(
+                rng, (1, self.n), 0, self.nentity, dtype=jnp.int32
+            )
+            return pos, neg, weight
+
+        B, n = idx.shape[0], self.n
+        if self.mode == TAIL_BATCH:
+            qk = pos[:, 0] * self.nrelation + pos[:, 1]
+        else:
+            qk = pos[:, 1] * self.nentity + pos[:, 2]
+
+        def draw_round(state):
+            rng, neg, n_valid = state
+            rng, sub = jax.random.split(rng)
+            cand = jax.random.randint(sub, (B, 2 * n), 0, self.nentity,
+                                      dtype=jnp.int32)
+            collided = self.csr.member(qk, cand)
+            # stable-sort valid draws to the front, keep the first n
+            order = jnp.argsort(collided, axis=1, stable=True)
+            fresh = jnp.take_along_axis(cand, order[:, :n], axis=1)
+            fresh_valid = jnp.sum(~collided, axis=1).astype(jnp.int32)
+            # rows already complete keep their negatives
+            done = n_valid >= n
+            neg = jnp.where(done[:, None], neg, fresh)
+            n_valid = jnp.where(done, n_valid, fresh_valid)
+            return rng, neg, n_valid
+
+        state = (
+            rng,
+            jnp.zeros((B, n), jnp.int32),
+            jnp.zeros((B,), jnp.int32),
+        )
+        state = draw_round(state)  # first round (almost always sufficient)
+        state = jax.lax.while_loop(
+            lambda s: jnp.any(s[2] < n), draw_round, state
+        )
+        return pos, state[1], weight
+
+    def next_batch(self):
+        self._key, sub = jax.random.split(self._key)
+        idx = jnp.asarray(self._next_indices())  # the ONLY per-step H2D
+        pos, neg, weight = self._sample(sub, idx)
+        return pos, neg, weight, self.mode
+
+
+class DeviceBidirectionalIterator:
+    """Tail-first strict alternation (same contract as
+    negative.py §BidirectionalIterator), with a device-side lookahead queue:
+    batch k+depth is dispatched before batch k is returned, so the tiny idx
+    transfer and the sampling program are always in flight ahead of the
+    consumer's train step."""
+
+    def __init__(self, head: DeviceSampler, tail: DeviceSampler, depth: int = 2):
+        self._samplers = (head, tail)  # counter parity: odd steps -> tail,
+        # so the FIRST batch is tail-batch, like the reference iterator
+        self.step = 0
+        self._queue = []
+        self._depth = max(1, depth)
+        for _ in range(self._depth):
+            self._enqueue()
+
+    def _enqueue(self):
+        self.step += 1
+        sampler = self._samplers[self.step % 2]
+        self._queue.append(sampler.next_batch())
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        self._enqueue()
+        return self._queue.pop(0)
+
+    def close(self):
+        self._queue.clear()
+
+
+def build_device_iterator(train: np.ndarray, nentity: int, nrelation: int,
+                          batch_size: int, negative_sample_size: int,
+                          seed: int = 0, negative_sharing: str = "none",
+                          depth: int = 2):
+    head = DeviceSampler(train, nentity, nrelation, batch_size,
+                         negative_sample_size, HEAD_BATCH, seed=seed,
+                         negative_sharing=negative_sharing)
+    tail = DeviceSampler(train, nentity, nrelation, batch_size,
+                         negative_sample_size, TAIL_BATCH, seed=seed + 1,
+                         negative_sharing=negative_sharing)
+    return DeviceBidirectionalIterator(head, tail, depth=depth)

@@ -267,7 +267,19 @@ def build_train_iterator(
     backend: str = "auto",
     negative_sharing: str = "none",
 ):
-    """The analogue of codes/run.py §main's two-DataLoader construction."""
+    """The analogue of codes/run.py §main's two-DataLoader construction.
+
+    backend='device' builds the TPU-resident sampler (device_sampler.py):
+    the whole draw→reject pipeline runs jitted on the accelerator and the
+    host ships a [B] index vector per step instead of [B,3]+[B,n]+[B]."""
+    if backend == "device":
+        from .device_sampler import build_device_iterator
+
+        return build_device_iterator(
+            train, nentity, nrelation, batch_size, negative_sample_size,
+            seed=seed, negative_sharing=negative_sharing,
+            depth=max(1, prefetch_depth // 2),
+        )
     head = TrainSampler(
         train, nentity, nrelation, batch_size, negative_sample_size,
         HEAD_BATCH, filters, seed=seed, backend=backend,
