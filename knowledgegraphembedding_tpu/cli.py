@@ -89,6 +89,10 @@ def parse_args(argv=None) -> RunConfig:
                         "(host ships only a [B] index vector per step)")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace of the train loop here")
+    p.add_argument("--eval_filter", type=str, default="auto",
+                   choices=["auto", "host", "device"],
+                   help="filter-mask construction at eval: host numpy vs "
+                        "device-resident CSR (auto = device on TPU)")
     p.add_argument("--spmd_mode", type=str, default="gspmd",
                    choices=["gspmd", "shardmap"],
                    help="multi-chip step: GSPMD-inferred collectives vs "
@@ -105,8 +109,20 @@ def main(argv=None) -> dict:
     """The orchestration flow of codes/run.py §main, returning the final
     metrics dict (handy for tests)."""
     # Imports deferred so `--help` stays instant.
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # Persistent compilation cache: every CLI invocation is a fresh process,
+    # and on a remote-dispatch TPU runtime each jit compile costs tens of
+    # seconds — cache compiled executables across runs.
+    if jax.config.jax_compilation_cache_dir is None:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.expanduser("~/.cache/kge_tpu_jax"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from . import checkpoint as ckpt_mod
     from . import eval as eval_mod
@@ -305,6 +321,9 @@ def _evaluate(trainer, spec, config, triples, ds, filters, eval_mod, mesh=None) 
         test_log_steps=config.test_log_steps,
         logger=logging.getLogger(),
         use_pallas=config.use_pallas,
+        device_filter={"auto": None, "host": False, "device": True}[
+            config.eval_filter
+        ],
     )
 
 

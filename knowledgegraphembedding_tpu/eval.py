@@ -125,6 +125,78 @@ def _pad_mask(mask: np.ndarray, chunk: int) -> np.ndarray:
     return np.pad(mask, ((0, 0), (0, Epad - E)))
 
 
+class DeviceFilter:
+    """Device-resident eval filter (all-true CSR in HBM): builds the
+    [B, W] bool filter mask ON the device — a Kmax-window gather from the
+    CSR plus one scatter-set — so the eval inner loop ships no [B, E]
+    host-built mask over the interconnect (≈2 MB/batch at YAGO scale; see
+    BENCH_NOTES.md on the host↔device path). Same semantics as
+    FilterSets.filter_mask_rows: True = known-true corruption, the positive
+    itself un-filtered (codes/dataloader.py ≈L140-148)."""
+
+    def __init__(self, filters: FilterSets, mask_cols: int):
+        E, R = filters.nentity, filters.nrelation
+        if E * R >= 2**31:
+            raise ValueError("composite key space exceeds int32")
+        self.nentity, self.nrelation = E, R
+        self.mask_cols = max(mask_cols, E + 1)  # col E+.. = scatter sink
+        self._modes = {}
+        for mode, idx, n_keys in (
+            (scorers.HEAD_BATCH, filters.all_true_head, R * E),
+            (scorers.TAIL_BATCH, filters.all_true_tail, E * R),
+        ):
+            counts = np.zeros(n_keys, np.int64)
+            counts[idx.sorted_keys] = np.diff(idx.offsets)
+            offsets = np.zeros(n_keys, np.int64)
+            np.cumsum(counts[:-1], out=offsets[1:])
+            k_max = max(int(counts.max()), 1)
+            values = np.concatenate(
+                [idx.values, np.zeros(k_max, np.int32)]  # slice-overrun pad
+            )
+            self._modes[mode] = (
+                jnp.asarray(offsets.astype(np.int32)),
+                jnp.asarray(counts.astype(np.int32)),
+                jnp.asarray(values.astype(np.int32)),
+                k_max,
+            )
+
+    def mask_rows(self, pos: jnp.ndarray, mode: str) -> jnp.ndarray:
+        offsets, counts, values, k_max = self._modes[mode]
+        return _device_mask(
+            pos, offsets, counts, values,
+            k_max=k_max, mode=mode, nentity=self.nentity,
+            nrelation=self.nrelation, width=self.mask_cols,
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k_max", "mode", "nentity", "nrelation", "width")
+)
+def _device_mask(pos, offsets, counts, values, *, k_max, mode, nentity,
+                 nrelation, width):
+    B = pos.shape[0]
+    if mode == scorers.HEAD_BATCH:
+        keys = pos[:, 1] * nentity + pos[:, 2]
+        true_ids = pos[:, 0]
+    else:
+        keys = pos[:, 0] * nrelation + pos[:, 1]
+        true_ids = pos[:, 2]
+    starts = jnp.take(offsets, keys)
+    cnts = jnp.take(counts, keys)
+    windows = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(values, (s,), (k_max,))
+    )(starts)  # [B, Kmax] contiguous reads
+    valid = jax.lax.broadcasted_iota(jnp.int32, (B, k_max), 1) < cnts[:, None]
+    # invalid window slots scatter into the sink column (>= nentity, never
+    # read: every rank path also applies an ids < nentity guard)
+    ids = jnp.where(valid, windows, width - 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (B, k_max), 0)
+    mask = jnp.zeros((B, width), bool)
+    mask = mask.at[rows, ids].set(True)
+    mask = mask.at[jnp.arange(B), true_ids].set(False)  # self never filtered
+    return mask
+
+
 def metrics_from_ranks(ranks: np.ndarray) -> List[Dict[str, float]]:
     """Per-triple log dicts, exactly the reference's names
     (codes/model.py ≈L370-380)."""
@@ -154,6 +226,7 @@ def test_step(
     test_log_steps: int = 1000,
     logger=None,
     use_pallas: Optional[bool] = None,
+    device_filter: Optional[bool] = None,
 ) -> Dict[str, float]:
     """Full filtered-ranking evaluation: both corruption directions, pooled
     mean over all (triple, direction) pairs (codes/model.py ≈L340-388).
@@ -161,42 +234,82 @@ def test_step(
     ``use_pallas``: None (default) auto-enables the fused table-streaming
     rank kernel (ops/pallas_rank.py) for distance-family models on TPU
     (measured 1.4-1.8x over the XLA chunked path); True/False force it.
-    Bilinear models always use the MXU matmul path."""
+    Bilinear models always use the MXU matmul path.
+
+    ``device_filter``: None (default) auto-enables the device-resident
+    filter + input path on TPU: test triples and the all-true filter CSR
+    live in HBM, masks are built on-device, and per-batch ranks stay on the
+    device until ONE pull at the end — the eval inner loop moves no
+    per-batch data over the host↔device link at all."""
     from .ops import pallas_rank
 
+    on_tpu = jax.default_backend() == "tpu"
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = on_tpu
+    if device_filter is None:
+        device_filter = on_tpu and (
+            spec.nentity * spec.nrelation < 2**31
+        )
 
-    logs: List[Dict[str, float]] = []
     chunk = min(eval_chunk_size, _cdiv(spec.nentity, 1))
     total = len(test_triples) * len(modes)
     done = 0
     ranker = None
     if use_pallas and pallas_rank.supports(spec.model_name):
         ranker = pallas_rank.PallasRanker(params, spec)
+
+    dev_filter = None
+    pos_all = None
+    n_real = len(test_triples)
+    if device_filter:
+        chunk_pad = _cdiv(spec.nentity, chunk) * chunk
+        dev_filter = DeviceFilter(filters, mask_cols=chunk_pad)
+        # resident, padded so every batch slice has static shape
+        n_pad = _cdiv(n_real, test_batch_size) * test_batch_size
+        trip = np.asarray(test_triples, np.int32)
+        if n_pad != n_real:
+            trip = np.concatenate(
+                [trip, np.repeat(trip[-1:], n_pad - n_real, axis=0)]
+            )
+        pos_all = jnp.asarray(trip)
+
+    logs: List[Dict[str, float]] = []
+    device_ranks: List[jnp.ndarray] = []
     for mode in modes:
-        for i in range(0, len(test_triples), test_batch_size):
-            pos = np.asarray(test_triples[i : i + test_batch_size], np.int32)
-            B = pos.shape[0]
-            if B < test_batch_size:  # pad to static shape, drop pad ranks
-                pad = np.repeat(pos[-1:], test_batch_size - B, axis=0)
-                pos_p = np.concatenate([pos, pad], axis=0)
+        for i in range(0, n_real, test_batch_size):
+            if dev_filter is not None:
+                pos_p = jax.lax.dynamic_slice_in_dim(
+                    pos_all, i, test_batch_size, axis=0
+                )
+                mask = dev_filter.mask_rows(pos_p, mode)
+                B = min(test_batch_size, n_real - i)
             else:
-                pos_p = pos
-            mask = filters.filter_mask_rows(pos_p, mode)
-            mask = _pad_mask(mask, chunk)
+                pos = np.asarray(test_triples[i : i + test_batch_size], np.int32)
+                B = pos.shape[0]
+                if B < test_batch_size:  # pad to static shape, drop pad ranks
+                    pad = np.repeat(pos[-1:], test_batch_size - B, axis=0)
+                    pos_p = np.concatenate([pos, pad], axis=0)
+                else:
+                    pos_p = pos
+                mask = jnp.asarray(_pad_mask(filters.filter_mask_rows(pos_p, mode), chunk))
+                pos_p = jnp.asarray(pos_p)
             if ranker is not None:
-                ranks = ranker.ranks(jnp.asarray(pos_p), jnp.asarray(mask), mode)
+                ranks = ranker.ranks(pos_p, mask, mode)
             else:
                 ranks = ranks_batch(
-                    params, jnp.asarray(pos_p), jnp.asarray(mask),
-                    spec=spec, mode=mode, chunk=chunk,
+                    params, pos_p, mask, spec=spec, mode=mode, chunk=chunk,
                 )
-            ranks = np.asarray(ranks)[:B]
-            logs.extend(metrics_from_ranks(ranks))
+            if dev_filter is not None:
+                device_ranks.append(ranks[:B])  # stays on device
+            else:
+                logs.extend(metrics_from_ranks(np.asarray(ranks)[:B]))
             done += B
             if logger is not None and (done // test_batch_size) % test_log_steps == 0:
                 logger.info("Evaluating the model... (%d/%d)", done, total)
+
+    if device_ranks:
+        all_ranks = np.asarray(jnp.concatenate(device_ranks))  # ONE pull
+        logs.extend(metrics_from_ranks(all_ranks))
 
     return {k: float(np.mean([lg[k] for lg in logs])) for k in logs[0]}
 
