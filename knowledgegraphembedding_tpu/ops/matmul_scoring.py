@@ -26,7 +26,6 @@ entities.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax.numpy as jnp
 

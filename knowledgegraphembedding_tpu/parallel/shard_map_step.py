@@ -43,7 +43,7 @@ size inside the psum'd loss so it is counted exactly once.
 
 from __future__ import annotations
 
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

@@ -42,7 +42,7 @@ the CSR window form is contiguous reads + pure VPU compares (~1-3 ms).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+
 
 import numpy as np
 
