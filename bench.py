@@ -124,6 +124,44 @@ def matrix():
         print(json.dumps({"metric": f"train triples/s — {name}",
                           "value": round(tps, 1), "unit": "triples/s"}))
 
+    # YAGO3-10-scale train shape (best_config: n=400, d=500 -de, B=1024)
+    tps = _measure_train(model="RotatE", scoring="gather", B=1024, n=400,
+                         d=500, n_steps=30)
+    print(json.dumps({"metric": "train triples/s — RotatE YAGO3-10 shape "
+                                "(E=14541 synth, n=400, d=500 -de)",
+                      "value": round(tps, 1), "unit": "triples/s"}))
+
+    # Evaluation throughput (YAGO3-10 scale), device-resident eval path
+    import time
+
+    from knowledgegraphembedding_tpu import eval as eval_mod
+    from knowledgegraphembedding_tpu.config import ModelSpec
+    from knowledgegraphembedding_tpu.data.filterset import FilterSets
+    from knowledgegraphembedding_tpu.data.synthetic import make_random_kg
+    from knowledgegraphembedding_tpu.models import kge
+
+    ds = make_random_kg(nentity=123182, nrelation=37, ntriples=400000,
+                        n_valid=500, n_test=512, seed=0)
+    filters = FilterSets.build(ds.train, ds.all_true_triples, ds.nentity,
+                               ds.nrelation)
+    for model in ("RotatE", "DistMult"):
+        spec = ModelSpec(
+            model_name=model, nentity=ds.nentity, nrelation=ds.nrelation,
+            hidden_dim=500, gamma=24.0,
+            double_entity_embedding=model in ("RotatE", "ComplEx"),
+            double_relation_embedding=model == "ComplEx",
+        )
+        params = kge.init_params(spec, jax.random.PRNGKey(0))
+        t0 = time.perf_counter()
+        eval_mod.test_step(params, spec, ds.test, filters, test_batch_size=16,
+                           device_filter=True)
+        dt = time.perf_counter() - t0
+        n = len(ds.test) * 2
+        print(json.dumps({
+            "metric": f"eval (triple,direction)/s — {model} YAGO3-10 scale "
+                      "(E=123182, d=500, device filter, incl. compile)",
+            "value": round(n / dt, 1), "unit": "evals/s"}))
+
 
 def main():
     from knowledgegraphembedding_tpu.config import ModelSpec, TrainSpec

@@ -222,11 +222,26 @@ def main(argv=None) -> dict:
 
     if config.do_train:
         logging.info("learning_rate = %f", trainer.current_learning_rate)
+        sampler_backend = config.sampler_backend
+        if sampler_backend == "auto" and config.num_shards == 1:
+            # Measured policy (BENCH_NOTES.md): configs whose device step is
+            # fast (dense MXU scoring, shared negatives) are bound by the
+            # host->device input stream — the on-device sampler lifts them to
+            # the device roofline. Gather-bound configs keep the overlapped
+            # host sampler (on-device sampling would serialize with the step).
+            from .train import use_dense_scoring
+
+            if jax.default_backend() == "tpu" and (
+                use_dense_scoring(spec, tspec)
+                or config.negative_sharing == "batch"
+            ) and ds.nentity * ds.nrelation < 2**31:
+                sampler_backend = "device"
+                logging.info("sampler backend: device (auto)")
         it = build_train_iterator(
             ds.train, ds.nentity, ds.nrelation,
             config.batch_size, config.negative_sample_size, filters,
             seed=config.seed, prefetch_depth=config.prefetch_depth,
-            backend=config.sampler_backend,
+            backend=sampler_backend,
             negative_sharing=config.negative_sharing,
         )
         from .utils.profiling import trace as profiler_trace

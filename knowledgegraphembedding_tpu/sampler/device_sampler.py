@@ -122,6 +122,8 @@ class DeviceSampler:
                  seed: int = 0, negative_sharing: str = "none"):
         assert mode in (HEAD_BATCH, TAIL_BATCH)
         triples = np.asarray(triples, np.int32)
+        if len(triples) == 0:
+            raise ValueError("empty train split — nothing to sample")
         if int(nentity) * int(nrelation) >= 2**31:
             raise ValueError(
                 "device sampler pair-key space exceeds int32 "

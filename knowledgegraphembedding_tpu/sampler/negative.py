@@ -80,6 +80,8 @@ class TrainSampler:
         assert mode in (HEAD_BATCH, TAIL_BATCH)
         assert backend in ("auto", "native", "numpy")
         assert negative_sharing in ("none", "batch")
+        if len(triples) == 0:
+            raise ValueError("empty train split — nothing to sample")
         self.negative_sharing = negative_sharing
         if backend == "numpy":
             self._native = False

@@ -124,3 +124,23 @@ def test_sharded_cli_flow(tmp_path):
         "-save", save_dir3,
     ])
     assert abs(metrics3["test"]["MRR"] - metrics["test"]["MRR"]) < 1e-4
+
+
+def test_evaluate_train_flag(tmp_path):
+    """--evaluate_train runs filtered ranking over the TRAIN split after
+    training (codes/run.py §main's final branch)."""
+    from knowledgegraphembedding_tpu.data.synthetic import make_clustered_kg
+
+    ds = make_clustered_kg(n_clusters=4, entities_per_cluster=8, nrelation=2, seed=9)
+    data_dir = str(tmp_path / "data")
+    save_dir = str(tmp_path / "save")
+    save_dataset(ds, data_dir)
+    metrics = cli.main([
+        "--do_train", "--evaluate_train",
+        "--data_path", data_dir, "--model", "TransE",
+        "-n", "4", "-b", "16", "-d", "8", "-g", "4.0",
+        "-lr", "0.01", "--max_steps", "30", "--log_steps", "15",
+        "--test_batch_size", "4", "--eval_chunk_size", "8",
+        "-save", save_dir,
+    ])
+    assert "train" in metrics and 0 < metrics["train"]["MRR"] <= 1
