@@ -152,13 +152,41 @@ def sharded_test_step(
     modes: Sequence[str] = (scorers.HEAD_BATCH, scorers.TAIL_BATCH),
 ) -> Dict[str, float]:
     """Drop-in multi-chip analogue of eval.test_step. ``params`` must hold
-    the (padded) row-sharded entity table from sharding.shard_params."""
-    n_shards = mesh.devices.size
+    the (padded) row-sharded entity table from sharding.shard_params.
+
+    Uses the device-resident filter path of eval.DeviceFilter when the
+    composite key space fits int32 (always at reference scales): masks are
+    built on-device and the per-batch ranks stay on-device until one final
+    pull — the same zero-per-batch-traffic scheme as eval.test_step."""
     Epad = params["entity_embedding"].shape[0]
-    logs = []
+    n_real = len(test_triples)
     fns = {mode: make_sharded_ranks_fn(spec, mesh, mode) for mode in modes}
+
+    dev_filter = None
+    if spec.nentity * spec.nrelation < 2**31:
+        dev_filter = eval_mod.DeviceFilter(filters, mask_cols=Epad)
+        n_pad = -(-n_real // test_batch_size) * test_batch_size
+        trip = np.asarray(test_triples, np.int32)
+        if n_pad != n_real:
+            trip = np.concatenate(
+                [trip, np.repeat(trip[-1:], n_pad - n_real, axis=0)]
+            )
+        pos_all = jnp.asarray(trip)
+
+    logs = []
+    device_ranks = []
     for mode in modes:
-        for i in range(0, len(test_triples), test_batch_size):
+        for i in range(0, n_real, test_batch_size):
+            if dev_filter is not None:
+                pos_p = jax.lax.dynamic_slice_in_dim(
+                    pos_all, i, test_batch_size, axis=0
+                )
+                mask = dev_filter.mask_rows(pos_p, mode)
+                if mask.shape[1] > Epad:
+                    mask = mask[:, :Epad]
+                B = min(test_batch_size, n_real - i)
+                device_ranks.append(fns[mode](params, pos_p, mask)[:B])
+                continue
             pos = np.asarray(test_triples[i : i + test_batch_size], np.int32)
             B = pos.shape[0]
             if B < test_batch_size:
@@ -174,4 +202,8 @@ def sharded_test_step(
                 fns[mode](params, jnp.asarray(pos_p), jnp.asarray(mask))
             )[:B]
             logs.extend(eval_mod.metrics_from_ranks(ranks))
+    if device_ranks:
+        logs.extend(
+            eval_mod.metrics_from_ranks(np.asarray(jnp.concatenate(device_ranks)))
+        )
     return {k: float(np.mean([lg[k] for lg in logs])) for k in logs[0]}
