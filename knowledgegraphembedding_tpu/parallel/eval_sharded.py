@@ -163,30 +163,37 @@ def sharded_test_step(
     fns = {mode: make_sharded_ranks_fn(spec, mesh, mode) for mode in modes}
 
     dev_filter = None
+    pos_batches = []
     if spec.nentity * spec.nrelation < 2**31:
-        dev_filter = eval_mod.DeviceFilter(filters, mask_cols=Epad)
+        dev_filter = eval_mod.get_device_filter(filters, mask_cols=Epad)
         n_pad = -(-n_real // test_batch_size) * test_batch_size
         trip = np.asarray(test_triples, np.int32)
         if n_pad != n_real:
             trip = np.concatenate(
                 [trip, np.repeat(trip[-1:], n_pad - n_real, axis=0)]
             )
-        pos_all = jnp.asarray(trip)
+        pos_batches = eval_mod._unstack(
+            jnp.asarray(trip).reshape(-1, test_batch_size, 3)
+        )
 
     logs = []
     device_ranks = []
-    for mode in modes:
-        for i in range(0, n_real, test_batch_size):
-            if dev_filter is not None:
-                pos_p = jax.lax.dynamic_slice_in_dim(
-                    pos_all, i, test_batch_size, axis=0
-                )
+    if dev_filter is not None:
+        for mode in modes:
+            for pos_p in pos_batches:
                 mask = dev_filter.mask_rows(pos_p, mode)
                 if mask.shape[1] > Epad:
                     mask = mask[:, :Epad]
-                B = min(test_batch_size, n_real - i)
-                device_ranks.append(fns[mode](params, pos_p, mask)[:B])
-                continue
+                device_ranks.append(fns[mode](params, pos_p, mask))
+        per_mode = np.asarray(eval_mod._concat(*device_ranks)).reshape(
+            len(modes), -1
+        )[:, :n_real]
+        for ranks in per_mode:
+            logs.extend(eval_mod.metrics_from_ranks(ranks))
+        return {k: float(np.mean([lg[k] for lg in logs])) for k in logs[0]}
+
+    for mode in modes:
+        for i in range(0, n_real, test_batch_size):
             pos = np.asarray(test_triples[i : i + test_batch_size], np.int32)
             B = pos.shape[0]
             if B < test_batch_size:
@@ -202,8 +209,4 @@ def sharded_test_step(
                 fns[mode](params, jnp.asarray(pos_p), jnp.asarray(mask))
             )[:B]
             logs.extend(eval_mod.metrics_from_ranks(ranks))
-    if device_ranks:
-        logs.extend(
-            eval_mod.metrics_from_ranks(np.asarray(jnp.concatenate(device_ranks)))
-        )
     return {k: float(np.mean([lg[k] for lg in logs])) for k in logs[0]}
