@@ -94,9 +94,10 @@ def parse_args(argv=None) -> RunConfig:
                    help="filter-mask construction at eval: host numpy vs "
                         "device-resident CSR (auto = device on TPU)")
     p.add_argument("--spmd_mode", type=str, default="gspmd",
-                   choices=["gspmd", "shardmap"],
-                   help="multi-chip step: GSPMD-inferred collectives vs "
-                        "hand-scheduled shard_map (all_gather/psum_scatter)")
+                   choices=["gspmd", "shardmap", "routed"],
+                   help="multi-chip step: GSPMD-inferred collectives, "
+                        "hand-scheduled table gather (all_gather/"
+                        "psum_scatter), or row-routing all_to_all exchange")
     p.add_argument("--negative_sharing", type=str, default="none",
                    choices=["none", "batch"],
                    help="'batch' shares one negative set across the batch "

@@ -181,10 +181,14 @@ class ShardedTrainer:
         self.step = init_step
         if spmd_mode == "shardmap":
             from .shard_map_step import make_shardmap_train_step as make_fn
+        elif spmd_mode == "routed":
+            from .routed_step import make_routed_train_step as make_fn
         elif spmd_mode == "gspmd":
             make_fn = make_sharded_train_step
         else:
-            raise ValueError(f"spmd_mode {spmd_mode!r} not in ('gspmd', 'shardmap')")
+            raise ValueError(
+                f"spmd_mode {spmd_mode!r} not in ('gspmd', 'shardmap', 'routed')"
+            )
         self._fns = {
             mode: make_fn(spec, tspec, mesh, mode,
                           shared_negatives=shared_negatives)

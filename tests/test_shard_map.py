@@ -13,6 +13,7 @@ from knowledgegraphembedding_tpu import optim
 from knowledgegraphembedding_tpu.config import ModelSpec, TrainSpec
 from knowledgegraphembedding_tpu.models import kge
 from knowledgegraphembedding_tpu.parallel import sharding
+from knowledgegraphembedding_tpu.parallel.routed_step import make_routed_train_step
 from knowledgegraphembedding_tpu.parallel.shard_map_step import make_shardmap_train_step
 from knowledgegraphembedding_tpu.train import train_step
 
@@ -45,7 +46,8 @@ def _batch(spec, tspec, seed=0, shared=False):
     return jnp.asarray(pos), jnp.asarray(neg), jnp.asarray(w)
 
 
-def _run_both(model, n_steps=3, shared=False, **tkw):
+def _run_both(model, n_steps=3, shared=False, make_fn=make_shardmap_train_step,
+              **tkw):
     spec, tspec = _specs(model, **tkw)
     params0 = kge.init_params(spec, jax.random.PRNGKey(3))
 
@@ -67,7 +69,7 @@ def _run_both(model, n_steps=3, shared=False, **tkw):
     )
     s2 = sharding.shard_opt_state(optim.init_state(p2), spec, mesh)
     fns = {
-        m: make_shardmap_train_step(spec, tspec, mesh, m, shared_negatives=shared)
+        m: make_fn(spec, tspec, mesh, m, shared_negatives=shared)
         for m in ("head-batch", "tail-batch")
     }
     logs2 = []
@@ -91,6 +93,7 @@ def _run_both(model, n_steps=3, shared=False, **tkw):
             b = b[:E]
         np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-7, err_msg=f"m/{k}")
     for l1, l2 in zip(logs1, logs2):
+        assert l2.pop("routed_overflow", 0.0) == 0.0
         for k in l1:
             assert l1[k] == pytest.approx(l2[k], rel=2e-5), k
     # padding rows must stay exactly zero (no grad, no reg drift)
@@ -124,3 +127,57 @@ def test_protate_modulus_grad():
 
 def test_shared_negatives():
     _run_both("RotatE", shared=True, negative_adversarial_sampling=True)
+
+
+# --- the row-routing all_to_all exchange (parallel/routed_step.py) ---
+
+def test_routed_rotate_adv_weighted():
+    _run_both("RotatE", make_fn=make_routed_train_step,
+              negative_adversarial_sampling=True, adversarial_temperature=0.7)
+
+
+def test_routed_transe_uniform_reg():
+    _run_both("TransE", make_fn=make_routed_train_step, uni_weight=True,
+              regularization=1e-4)
+
+
+def test_routed_protate_shared():
+    _run_both("pRotatE", make_fn=make_routed_train_step, shared=True,
+              negative_adversarial_sampling=True)
+
+
+def test_routed_rejects_dense_scoring():
+    spec, tspec = _specs("DistMult", scoring="dense")
+    mesh = sharding.build_mesh(N_DEV)
+    with pytest.raises(ValueError, match="dense"):
+        make_routed_train_step(spec, tspec, mesh, "tail-batch")
+
+
+def test_fetch_rows_routes_exactly():
+    """fetch_rows returns table[ids] bit-exactly for ids spanning all
+    shards, in arbitrary order, with duplicates."""
+    import jax
+    import jax.numpy as jnp
+    from knowledgegraphembedding_tpu.parallel import routed_step
+
+    mesh = sharding.build_mesh(N_DEV)
+    E, d = 16 * N_DEV, 8
+    table = jnp.arange(E * d, dtype=jnp.float32).reshape(E, d)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, E, 200).astype(np.int32))
+
+    def body(table_local, ids):
+        rows, fill = routed_step.fetch_rows(
+            table_local, ids, n_shards=N_DEV,
+            capacity=routed_step._capacity(200, N_DEV),
+        )
+        return rows
+
+    P = jax.sharding.PartitionSpec
+    # the exchange output is VMA-typed as device-varying (it IS identical
+    # here because ids are replicated, but that's not statically provable)
+    rows = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P("data", None), P()), out_specs=P(),
+        check_vma=False,
+    ))(table, ids)
+    np.testing.assert_array_equal(np.asarray(rows), np.asarray(table)[np.asarray(ids)])
