@@ -27,26 +27,6 @@ import jax
 import jax.numpy as jnp
 
 
-def hbm_roofline_triples_per_sec(spec, B, n, hbm_gbps):
-    """Bytes each train step must move through HBM, at minimum:
-      fwd:  gather B*(n+2) entity rows + B relation rows
-      bwd:  scatter-add the same rows' gradients (read+write dense tables
-            is counted in the Adam term)
-      adam: read params+m+v and write params+m+v for both whole tables
-            (dense torch-Adam semantics, SURVEY.md §3.1)
-    """
-    de = spec.entity_dim * 4
-    dr = spec.relation_dim * 4
-    E, R = spec.nentity, spec.nrelation
-    gather = B * (n + 2) * de + B * dr
-    bwd = gather  # grad contributions re-read/written once
-    table_bytes = E * de + R * dr
-    adam = 6 * 3 * table_bytes / 3  # read p,m,v + write p,m,v = 6x tables
-    total = gather + bwd + adam
-    steps_per_sec = hbm_gbps * 1e9 / total
-    return steps_per_sec * B
-
-
 def _measure_train(model="RotatE", scoring="auto", precision="f32",
                    negative_sharing="none", B=1024, n=256, d=1000,
                    n_steps=50, sampler_backend="auto"):

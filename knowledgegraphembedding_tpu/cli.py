@@ -232,10 +232,12 @@ def main(argv=None) -> dict:
             # host sampler (on-device sampling would serialize with the step).
             from .train import use_dense_scoring
 
+            from .data.filterset import MAX_DENSE_KEYS
+
             if jax.default_backend() == "tpu" and (
                 use_dense_scoring(spec, tspec)
                 or config.negative_sharing == "batch"
-            ) and ds.nentity * ds.nrelation < 2**31:
+            ) and ds.nentity * ds.nrelation <= MAX_DENSE_KEYS:
                 sampler_backend = "device"
                 logging.info("sampler backend: device (auto)")
         it = build_train_iterator(
@@ -279,6 +281,13 @@ def main(argv=None) -> dict:
                 dt = time.time() - t_last
                 metrics["triples_per_sec"] = n_since * config.batch_size / dt
                 log_metrics("Training average", step, metrics)
+                if metrics.get("routed_overflow", 0.0) > 0.0:
+                    # silent truncation in the all_to_all exchange corrupts
+                    # training (parallel/routed_step.py capacity docs)
+                    raise RuntimeError(
+                        "routed exchange bucket overflow detected — "
+                        "capacity exceeded; use --spmd_mode shardmap"
+                    )
                 log_acc = jnp.zeros(len(log_keys), jnp.float32)
                 t_last = time.time()
                 n_since = 0
@@ -329,6 +338,9 @@ def _evaluate(trainer, spec, config, triples, ds, filters, eval_mod, mesh=None) 
         return eval_sharded.sharded_test_step(
             trainer.params, spec, triples, filters, mesh,
             test_batch_size=config.test_batch_size,
+            device_filter={"auto": None, "host": False, "device": True}[
+                config.eval_filter
+            ],
         )
     return eval_mod.test_step(
         trainer.params, spec, triples, filters,

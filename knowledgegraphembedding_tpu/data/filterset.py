@@ -20,6 +20,15 @@ from typing import Dict, Tuple
 import numpy as np
 
 
+#: Auto-enable ceiling for the DEVICE-resident filter/sampler structures,
+#: which allocate dense per-key arrays over the composite key space E*R
+#: (8-16 bytes/key in HBM). 2^26 keys ≈ 0.5-1 GB — comfortably inside one
+#: chip's HBM next to the tables; every reference dataset is ≤ 20M keys.
+#: Beyond this the auto paths fall back to host-built filters (explicitly
+#: requesting 'device' is still honored up to the int32 key limit).
+MAX_DENSE_KEYS = 1 << 26
+
+
 @dataclass
 class TrueIndex:
     """CSR map from a composite key to the sorted array of true partners.
@@ -48,6 +57,30 @@ class TrueIndex:
         if i >= len(self.sorted_keys) or self.sorted_keys[i] != key:
             return self.values[:0]
         return self.values[self.offsets[i] : self.offsets[i + 1]]
+
+
+def dense_key_arrays(idx: TrueIndex, n_keys: int, pad_value: int):
+    """Densify a TrueIndex over the full composite-key space for
+    device-resident use: (offsets i32[n_keys], counts i32[n_keys],
+    values i32[nnz + k_max], k_max). The values tail is padded with
+    ``pad_value`` so every k_max-wide window slice stays in bounds; callers
+    mask window positions >= counts[key] (shared by the device sampler's
+    membership test and the device eval filter — one CSR layout, one
+    builder)."""
+    counts = np.zeros(n_keys, np.int64)
+    counts[idx.sorted_keys] = np.diff(idx.offsets)
+    offsets = np.zeros(n_keys, np.int64)
+    np.cumsum(counts[:-1], out=offsets[1:])
+    k_max = max(int(counts.max(initial=0)), 1)
+    values = np.concatenate(
+        [idx.values, np.full(k_max, pad_value, np.int32)]
+    )
+    return (
+        offsets.astype(np.int32),
+        counts.astype(np.int32),
+        values.astype(np.int32),
+        k_max,
+    )
 
 
 @dataclass

@@ -37,10 +37,45 @@ def _cdiv(a: int, b: int) -> int:
 
 # On a remote-dispatch runtime EVERY eager op costs a host<->device round
 # trip (~30-60 ms measured), while jitted calls enqueue in ~1 ms. The eval
-# loop therefore goes through exactly three module-level jitted helpers for
-# its batching plumbing: unstack-once, per-batch compute, concat-once.
+# loop therefore goes through module-level jitted helpers for its batching
+# plumbing (unstack / concat), bounded to _GROUP operands per program so
+# trace/compile time stays O(1) in the number of eval batches.
 _unstack = jax.jit(lambda s: tuple(s))
 _concat = jax.jit(lambda *rs: jnp.concatenate(rs))
+_GROUP = 256
+
+
+def _unstack_bounded(stacked) -> list:
+    """Split axis 0 into a list of device arrays with <= _GROUP outputs per
+    compiled program (two levels handle up to _GROUP^2 batches)."""
+    nb = stacked.shape[0]
+    if nb <= _GROUP:
+        return list(_unstack(stacked))
+    ngf = nb // _GROUP
+    out = []
+    full = stacked[: ngf * _GROUP].reshape(ngf, _GROUP, *stacked.shape[1:])
+    for g in _unstack(full):
+        out.extend(_unstack(g))
+    if nb % _GROUP:
+        out.extend(_unstack(stacked[ngf * _GROUP:]))
+    return out
+
+
+def _concat_bounded(arrays: list):
+    """Concatenate many device arrays with <= _GROUP operands per compiled
+    program."""
+    while len(arrays) > _GROUP:
+        nxt = []
+        n_full = len(arrays) - len(arrays) % _GROUP
+        for i in range(0, n_full, _GROUP):
+            nxt.append(_concat(*arrays[i: i + _GROUP]))
+        rem = arrays[n_full:]
+        if len(rem) == 1:
+            nxt.append(rem[0])
+        elif rem:
+            nxt.append(_concat(*rem))
+        arrays = nxt
+    return arrays[0] if len(arrays) == 1 else _concat(*arrays)
 
 def get_device_filter(filters: FilterSets, mask_cols: int) -> "DeviceFilter":
     """DeviceFilter construction uploads the dense CSR arrays (~70 MB at
@@ -163,22 +198,19 @@ class DeviceFilter:
         self.nentity, self.nrelation = E, R
         self.mask_cols = max(mask_cols, E + 1)  # col E+.. = scatter sink
         self._modes = {}
+        from .data.filterset import dense_key_arrays
+
         for mode, idx, n_keys in (
             (scorers.HEAD_BATCH, filters.all_true_head, R * E),
             (scorers.TAIL_BATCH, filters.all_true_tail, E * R),
         ):
-            counts = np.zeros(n_keys, np.int64)
-            counts[idx.sorted_keys] = np.diff(idx.offsets)
-            offsets = np.zeros(n_keys, np.int64)
-            np.cumsum(counts[:-1], out=offsets[1:])
-            k_max = max(int(counts.max()), 1)
-            values = np.concatenate(
-                [idx.values, np.zeros(k_max, np.int32)]  # slice-overrun pad
+            offsets, counts, values, k_max = dense_key_arrays(
+                idx, n_keys, pad_value=0
             )
             self._modes[mode] = (
-                jnp.asarray(offsets.astype(np.int32)),
-                jnp.asarray(counts.astype(np.int32)),
-                jnp.asarray(values.astype(np.int32)),
+                jnp.asarray(offsets),
+                jnp.asarray(counts),
+                jnp.asarray(values),
                 k_max,
             )
 
@@ -269,8 +301,10 @@ def test_step(
     if use_pallas is None:
         use_pallas = on_tpu
     if device_filter is None:
+        from .data.filterset import MAX_DENSE_KEYS
+
         device_filter = on_tpu and (
-            spec.nentity * spec.nrelation < 2**31
+            spec.nentity * spec.nrelation <= MAX_DENSE_KEYS
         )
 
     chunk = min(eval_chunk_size, _cdiv(spec.nentity, 1))
@@ -294,13 +328,19 @@ def test_step(
         # shipped host->device (~26 ms latency each on a remote runtime).
         chunk_pad = _cdiv(spec.nentity, chunk) * chunk
         dev_filter = get_device_filter(filters, mask_cols=chunk_pad)
-        n_pad = _cdiv(n_real, test_batch_size) * test_batch_size
+        # ranks are per-triple, so the device batch size is free to differ
+        # from the user-facing --test_batch_size: floor it at 16 so the
+        # reference default (4) doesn't quadruple dispatch count
+        eff_batch = max(test_batch_size, 16)
+        n_pad = _cdiv(n_real, eff_batch) * eff_batch
         trip = np.asarray(test_triples, np.int32)
         if n_pad != n_real:
             trip = np.concatenate(
                 [trip, np.repeat(trip[-1:], n_pad - n_real, axis=0)]
             )
-        pos_batches = _unstack(jnp.asarray(trip).reshape(-1, test_batch_size, 3))
+        pos_batches = _unstack_bounded(
+            jnp.asarray(trip).reshape(-1, eff_batch, 3)
+        )
 
         device_ranks: List[jnp.ndarray] = []
         for mode in modes:
@@ -317,7 +357,7 @@ def test_step(
                     "Evaluating the model... (%d/%d)", n_real * (1 + modes.index(mode)), total
                 )
         per_mode = np.asarray(
-            _concat(*device_ranks)  # the ONE pull
+            _concat_bounded(device_ranks)  # the ONE pull
         ).reshape(len(modes), n_pad)[:, :n_real]
         for ranks in per_mode:
             logs.extend(metrics_from_ranks(ranks))

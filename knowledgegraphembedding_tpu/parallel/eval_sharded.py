@@ -150,6 +150,7 @@ def sharded_test_step(
     mesh,
     test_batch_size: int = 16,
     modes: Sequence[str] = (scorers.HEAD_BATCH, scorers.TAIL_BATCH),
+    device_filter: bool = None,
 ) -> Dict[str, float]:
     """Drop-in multi-chip analogue of eval.test_step. ``params`` must hold
     the (padded) row-sharded entity table from sharding.shard_params.
@@ -162,9 +163,13 @@ def sharded_test_step(
     n_real = len(test_triples)
     fns = {mode: make_sharded_ranks_fn(spec, mesh, mode) for mode in modes}
 
+    if device_filter is None:
+        from ..data.filterset import MAX_DENSE_KEYS
+
+        device_filter = spec.nentity * spec.nrelation <= MAX_DENSE_KEYS
     dev_filter = None
     pos_batches = []
-    if spec.nentity * spec.nrelation < 2**31:
+    if device_filter:
         dev_filter = eval_mod.get_device_filter(filters, mask_cols=Epad)
         n_pad = -(-n_real // test_batch_size) * test_batch_size
         trip = np.asarray(test_triples, np.int32)
@@ -172,7 +177,7 @@ def sharded_test_step(
             trip = np.concatenate(
                 [trip, np.repeat(trip[-1:], n_pad - n_real, axis=0)]
             )
-        pos_batches = eval_mod._unstack(
+        pos_batches = eval_mod._unstack_bounded(
             jnp.asarray(trip).reshape(-1, test_batch_size, 3)
         )
 
@@ -185,7 +190,7 @@ def sharded_test_step(
                 if mask.shape[1] > Epad:
                     mask = mask[:, :Epad]
                 device_ranks.append(fns[mode](params, pos_p, mask))
-        per_mode = np.asarray(eval_mod._concat(*device_ranks)).reshape(
+        per_mode = np.asarray(eval_mod._concat_bounded(device_ranks)).reshape(
             len(modes), -1
         )[:, :n_real]
         for ranks in per_mode:

@@ -25,14 +25,16 @@ scatter-adds and each ``all_to_all`` to its reverse, so gradient rows are
 routed back to their owner shards automatically — exactly the reverse
 exchange a hand-rolled implementation would schedule.
 
-Capacity: the per-(device, owner) bucket is a static ``C``. With uniform
-negatives the request counts are Binomial(L, 1/D), so
-``C = 1.3·L/D + 64`` (lane-rounded) makes overflow astronomically rare;
-because silent truncation would corrupt training, the step returns the
-observed max bucket fill in its logs (``routed_overflow`` > 0 means C was
-exceeded) and the trainer raises. Static shapes are non-negotiable under
-jit — this is the honest price of the routed scheme vs the always-dense
-table gather, and one more reason the latter is the default.
+Capacity: the per-(device, owner) bucket is a static ``C``. Negative ids
+are uniform (Binomial across owners: 1.3x mean + 64 suffices); positive
+ids follow the graph's Zipfian degree distribution, so the budget assumes
+ALL of a device's positives can land on one owner shard (see _capacity).
+Because silent truncation would corrupt training, the step reports
+``routed_overflow`` in its logs (1.0 if any bucket exceeded C) and the CLI
+train loop raises on it at the next log window. Static shapes are
+non-negotiable under jit — this is the honest price of the routed scheme
+vs the always-dense table gather, and one more reason the latter is the
+default.
 """
 
 from __future__ import annotations
@@ -50,8 +52,15 @@ P = jax.sharding.PartitionSpec
 LANE = 128
 
 
-def _capacity(n_requests: int, n_shards: int) -> int:
-    c = int(n_requests / n_shards * 1.3) + 64
+def _capacity(n_uniform: int, n_shards: int, n_skewed: int = 0) -> int:
+    """Static per-(device, owner) bucket size.
+
+    Negative ids are uniform by construction (rejection-sampled uniform), so
+    1.3x their Binomial mean + 64 makes overflow astronomically rare. The
+    POSITIVE ids follow the graph's (Zipfian) degree distribution and hub
+    rows share one contiguous shard — budget for ALL of them landing on a
+    single owner."""
+    c = n_skewed + int(n_uniform / n_shards * 1.3) + 64
     return -(-c // LANE) * LANE
 
 
@@ -114,11 +123,11 @@ def make_routed_train_step(spec: ModelSpec, tspec: TrainSpec, mesh,
     def loss_fn(params, pos, neg, weight):
         ent_local = params["entity_embedding"]
         Bl = pos.shape[0]
-        n_neg = neg.shape[0] * neg.shape[1]  # [1, n] when shared
+        n_neg = neg.shape[0] * neg.shape[1]  # [1, n] when shared — uniform ids
         ids = jnp.concatenate(
             [pos[:, 0], pos[:, 2], neg.reshape(-1)]
         )
-        cap = _capacity(ids.shape[0], n_shards)
+        cap = _capacity(n_neg, n_shards, n_skewed=2 * Bl)
         rows, fill = fetch_rows(ent_local, ids, n_shards=n_shards,
                                 capacity=cap)
         h = rows[:Bl][:, None, :]

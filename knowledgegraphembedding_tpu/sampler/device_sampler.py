@@ -59,18 +59,14 @@ class _DeviceCSR:
 
     def __init__(self, keys: np.ndarray, vals: np.ndarray, n_keys: int,
                  sentinel: int):
-        order = np.argsort(keys, kind="stable")
-        counts = np.bincount(keys, minlength=n_keys).astype(np.int32)
-        offsets = np.zeros(n_keys, np.int64)
-        np.cumsum(counts[:-1], out=offsets[1:])
-        self.k_max = max(int(counts.max()), 1)
-        # pad so every Kmax window slice stays in bounds; sentinel never
-        # matches a candidate (candidates are < nentity)
-        vals_sorted = np.concatenate(
-            [vals[order], np.full(self.k_max, sentinel, np.int32)]
+        from ..data.filterset import TrueIndex, dense_key_arrays
+
+        idx = TrueIndex.build(keys.astype(np.int64), vals)
+        offsets, counts, values, self.k_max = dense_key_arrays(
+            idx, n_keys, pad_value=sentinel
         )
-        self.values = jnp.asarray(vals_sorted.astype(np.int32))
-        self.offsets = jnp.asarray(offsets.astype(np.int32))
+        self.values = jnp.asarray(values)
+        self.offsets = jnp.asarray(offsets)
         self.counts = jnp.asarray(counts)
 
     def member(self, keys: jnp.ndarray, cand: jnp.ndarray) -> jnp.ndarray:
@@ -192,14 +188,21 @@ class DeviceSampler:
             cand = jax.random.randint(sub, (B, 2 * n), 0, self.nentity,
                                       dtype=jnp.int32)
             collided = self.csr.member(qk, cand)
-            # stable-sort valid draws to the front, keep the first n
-            order = jnp.argsort(collided, axis=1, stable=True)
-            fresh = jnp.take_along_axis(cand, order[:, :n], axis=1)
+            # TOP-UP accumulation (same contract as the host sampler's
+            # concatenate-until-full loop): merge this round's valid draws
+            # AFTER the valid draws already collected, valid-first, keep the
+            # first n. A replace-instead-of-merge variant would require one
+            # single round to produce >= n valid draws — and loop forever on
+            # rows whose true-set covers most entities (dense tiny graphs).
             fresh_valid = jnp.sum(~collided, axis=1).astype(jnp.int32)
-            # rows already complete keep their negatives
-            done = n_valid >= n
-            neg = jnp.where(done[:, None], neg, fresh)
-            n_valid = jnp.where(done, n_valid, fresh_valid)
+            merged = jnp.concatenate([neg, cand], axis=1)  # [B, 3n]
+            kept_col = jax.lax.broadcasted_iota(jnp.int32, (B, n), 1)
+            valid = jnp.concatenate(
+                [kept_col < n_valid[:, None], ~collided], axis=1
+            )
+            order = jnp.argsort(~valid, axis=1, stable=True)
+            neg = jnp.take_along_axis(merged, order[:, :n], axis=1)
+            n_valid = jnp.minimum(n_valid + fresh_valid, n)
             return rng, neg, n_valid
 
         state = (

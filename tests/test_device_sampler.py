@@ -166,3 +166,18 @@ def test_train_e2e_with_device_sampler(tmp_path):
         "-save", save_dir,
     ])
     assert metrics["test"]["MRR"] > 0.15  # learns well above chance (~0.06)
+
+
+def test_dense_graph_topup_terminates():
+    """A (h,r) whose true-tail set covers 90% of entities: completing n=8
+    negatives from the 2 allowed entities requires accumulating valid draws
+    across rounds (a replace-instead-of-merge loop would effectively never
+    terminate: P(>=8 valid in one 16-draw round) ~ 1e-5)."""
+    E, n = 20, 8
+    train = np.array([[0, 0, t] for t in range(18)], np.int32)  # tails 0..17
+    s = DeviceSampler(train, E, 1, batch_size=4, negative_sample_size=n,
+                      mode=TAIL_BATCH, seed=0)
+    for _ in range(3):
+        pos, neg, w, _ = s.next_batch()
+        neg = np.asarray(neg)
+        assert set(np.unique(neg)) <= {18, 19}  # only the allowed entities
