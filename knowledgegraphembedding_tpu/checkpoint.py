@@ -35,9 +35,12 @@ from .train import Trainer
 # nn.Parameter, codes/model.py ≈L35), so torch.load restores it implicitly;
 # here gamma lives in the jit-static ModelSpec, so the config round-trip is
 # the equivalent restore path.
+# NB: data_path is NOT here — the reference only falls back to the saved
+# data_path when the CLI didn't provide one (codes/run.py §override_config:
+# `if args.data_path is None`), so an explicit --data_path at resume time
+# must win (e.g. evaluating a checkpoint on a different split directory).
 OVERRIDE_KEYS = (
     "countries",
-    "data_path",
     "model",
     "double_entity_embedding",
     "double_relation_embedding",

@@ -102,6 +102,12 @@ def parse_args(argv=None) -> RunConfig:
                    choices=["none", "batch"],
                    help="'batch' shares one negative set across the batch "
                         "(PBG-style, unfiltered) — the high-throughput mode")
+    p.add_argument("--platform", type=str, default="auto",
+                   choices=["auto", "cpu", "tpu"],
+                   help="force the JAX backend (reliable override where a "
+                        "site hook pins JAX_PLATFORMS; cpu + "
+                        "XLA_FLAGS=--xla_force_host_platform_device_count=N "
+                        "gives an N-device virtual mesh)")
     ns = p.parse_args(argv)
     return RunConfig(**vars(ns))
 
@@ -125,16 +131,17 @@ def main(argv=None) -> dict:
         )
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    config = parse_args(argv)
+    if config.platform != "auto":
+        jax.config.update("jax_platforms", config.platform)
+
     from . import checkpoint as ckpt_mod
     from . import eval as eval_mod
     from .data.filterset import FilterSets
-    from .data.vocab import load_dataset
     from .models import kge
     from .sampler import build_train_iterator
     from .train import Trainer
     from .utils.logging import log_metrics, set_logger
-
-    config = parse_args(argv)
 
     # --- validation (codes/run.py §main ≈L182-190) ---
     if not (config.do_train or config.do_valid or config.do_test):
@@ -158,7 +165,11 @@ def main(argv=None) -> dict:
         )
 
     # --- data (codes/run.py §main ≈L190-235) ---
-    ds = load_dataset(config.data_path, countries=config.countries)
+    # registry: 'synthetic:<key>' generates a dataset in-process (zero-egress
+    # machines); anything else is a reference-layout TSV directory
+    from .data import registry
+
+    ds = registry.load(config.data_path, countries=config.countries)
     config.nentity = ds.nentity
     config.nrelation = ds.nrelation
     if config.countries:

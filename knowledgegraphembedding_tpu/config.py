@@ -153,6 +153,7 @@ class RunConfig:
     negative_sharing: str = "none"  # 'none' (reference) | 'batch' (shared negs)
     profile_dir: Optional[str] = None  # jax.profiler trace output dir
     eval_filter: str = "auto"  # 'auto' | 'host' | 'device' (device-resident CSR)
+    platform: str = "auto"  # 'auto' | 'cpu' | 'tpu' (force the JAX backend)
     # 'gspmd'    — annotate shardings, let XLA insert collectives
     # 'shardmap' — hand-scheduled collectives (all_gather table fwd,
     #              psum_scatter grads bwd; parallel/shard_map_step.py)

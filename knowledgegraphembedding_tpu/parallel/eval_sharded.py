@@ -91,6 +91,21 @@ def _local_scores(table_local, left, spec: ModelSpec, modulus):
     )
 
 
+# jit wrappers cached per (spec, mesh, mode): rebuilding them on every
+# periodic validation would force full XLA recompiles of both mode programs
+# each time (tens of seconds each on a remote-dispatch runtime)
+_ranks_fn_cache: dict = {}
+
+
+def get_sharded_ranks_fn(spec: ModelSpec, mesh, mode: str):
+    key = (spec, mode, mesh.axis_names, tuple(d.id for d in mesh.devices.flat))
+    fn = _ranks_fn_cache.get(key)
+    if fn is None:
+        fn = make_sharded_ranks_fn(spec, mesh, mode)
+        _ranks_fn_cache[key] = fn
+    return fn
+
+
 def make_sharded_ranks_fn(spec: ModelSpec, mesh, mode: str):
     """jit-compiled SPMD rank function over a row-sharded (padded) table.
 
@@ -161,7 +176,7 @@ def sharded_test_step(
     pull — the same zero-per-batch-traffic scheme as eval.test_step."""
     Epad = params["entity_embedding"].shape[0]
     n_real = len(test_triples)
-    fns = {mode: make_sharded_ranks_fn(spec, mesh, mode) for mode in modes}
+    fns = {mode: get_sharded_ranks_fn(spec, mesh, mode) for mode in modes}
 
     if device_filter is None:
         from ..data.filterset import MAX_DENSE_KEYS

@@ -40,9 +40,14 @@ def initialize(
 ) -> None:
     """Bring up the multi-host runtime. On TPU pods the three arguments are
     auto-detected from the environment; pass them explicitly for CPU/GPU
-    fleets. No-op if already initialized or single-process."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    fleets. No-op if already initialized or single-process.
+
+    NB: must run before anything initializes the XLA backend —
+    ``jax.process_count()`` would itself initialize it and make
+    ``jax.distributed.initialize`` raise, so the already-initialized check
+    goes through ``jax.distributed.is_initialized()``, which is safe."""
+    if jax.distributed.is_initialized():
+        return
     if coordinator_address is None and num_processes is None:
         try:
             jax.distributed.initialize()

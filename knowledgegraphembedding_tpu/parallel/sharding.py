@@ -45,6 +45,11 @@ def build_mesh(n_devices: Optional[int] = None) -> Mesh:
     """1-D device mesh over the data axis."""
     devs = np.asarray(jax.devices())
     if n_devices is not None:
+        if n_devices > len(devs):
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devs)} devices are available"
+            )
         devs = devs[:n_devices]
     return Mesh(devs, (DATA_AXIS,))
 

@@ -207,6 +207,10 @@ class BidirectionalIterator:
             return self.head_sampler.next_batch()
         return self.tail_sampler.next_batch()
 
+    def close(self) -> None:
+        """No-op: present so every train-iterator variant (prefetched or
+        not) exposes the same lifecycle to the train loop."""
+
 
 class PrefetchIterator:
     """Background-thread prefetch queue between the numpy sampler and the

@@ -144,3 +144,60 @@ def test_evaluate_train_flag(tmp_path):
         "-save", save_dir,
     ])
     assert "train" in metrics and 0 < metrics["train"]["MRR"] <= 1
+
+
+def test_prefetch_depth_zero_full_flow(tmp_path):
+    """--prefetch_depth 0 (unbuffered sampler) must complete training incl.
+    the final save (the iterator's close() used to be missing)."""
+    ds = make_clustered_kg(n_clusters=3, entities_per_cluster=8, nrelation=2, seed=1)
+    data_dir = str(tmp_path / "data")
+    save_dir = str(tmp_path / "save")
+    save_dataset(ds, data_dir)
+    cli.main([
+        "--do_train", "--data_path", data_dir, "--model", "TransE",
+        "-n", "4", "-b", "16", "-d", "8", "-g", "4.0",
+        "-lr", "0.01", "--max_steps", "10", "--log_steps", "5",
+        "--prefetch_depth", "0", "-save", save_dir,
+    ])
+    assert os.path.exists(os.path.join(save_dir, "checkpoint.npz"))
+
+
+def test_resume_explicit_data_path_wins(tmp_path):
+    """codes/run.py §override_config only falls back to the saved data_path
+    when the CLI gave none — an explicit --data_path at resume must win."""
+    ds_a = make_clustered_kg(n_clusters=3, entities_per_cluster=8, nrelation=2, seed=1)
+    dir_a = str(tmp_path / "a")
+    dir_b = str(tmp_path / "b")
+    save_dir = str(tmp_path / "save")
+    save_dataset(ds_a, dir_a)
+    # second dataset: same vocab sizes, different triples
+    ds_b = make_clustered_kg(n_clusters=3, entities_per_cluster=8, nrelation=2, seed=2)
+    save_dataset(ds_b, dir_b)
+    cli.main([
+        "--do_train", "--data_path", dir_a, "--model", "TransE",
+        "-n", "4", "-b", "16", "-d", "8", "-g", "4.0",
+        "-lr", "0.01", "--max_steps", "10", "--log_steps", "5",
+        "-save", save_dir,
+    ])
+    import json
+    from knowledgegraphembedding_tpu import checkpoint as ckpt_mod
+    from knowledgegraphembedding_tpu.config import RunConfig
+
+    cfg = RunConfig(do_test=True, init_checkpoint=save_dir, data_path=dir_b)
+    cfg = ckpt_mod.override_config(cfg)
+    assert cfg.data_path == dir_b  # explicit flag wins
+    cfg2 = RunConfig(do_test=True, init_checkpoint=save_dir)
+    cfg2 = ckpt_mod.override_config(cfg2)
+    assert cfg2.data_path == dir_a  # fallback when absent
+
+
+def test_synthetic_registry_data_path(tmp_path):
+    """--data_path synthetic:<key> generates the dataset in-process."""
+    metrics = cli.main([
+        "--do_train", "--do_test", "--data_path", "synthetic:clustered",
+        "--model", "TransE", "-n", "4", "-b", "16", "-d", "8", "-g", "4.0",
+        "-lr", "0.01", "--max_steps", "10", "--log_steps", "5",
+        "--test_batch_size", "4", "--eval_chunk_size", "16",
+        "-save", str(tmp_path / "save"),
+    ])
+    assert 0 < metrics["test"]["MRR"] <= 1
