@@ -24,7 +24,10 @@ _WORKER = textwrap.dedent(
     pid = int(sys.argv[1])
     port = sys.argv[2]
     out_dir = sys.argv[3]
-    jax.distributed.initialize(
+    # exercise the framework's own bootstrap (must run before ANY backend
+    # touch — see multihost.initialize's ordering note)
+    from knowledgegraphembedding_tpu.parallel import multihost as mh_boot
+    mh_boot.initialize(
         coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid
     )
     import jax.numpy as jnp
