@@ -47,7 +47,7 @@ def _batch(spec, tspec, seed=0, shared=False):
 
 
 def _run_both(model, n_steps=3, shared=False, make_fn=make_shardmap_train_step,
-              **tkw):
+              rtol=2e-5, atol=2e-6, **tkw):
     spec, tspec = _specs(model, **tkw)
     params0 = kge.init_params(spec, jax.random.PRNGKey(3))
 
@@ -86,16 +86,17 @@ def _run_both(model, n_steps=3, shared=False, make_fn=make_shardmap_train_step,
         b = np.asarray(jax.device_get(p2[k]))
         if k == "entity_embedding":
             b = b[:E]
-        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6, err_msg=k)
+        np.testing.assert_allclose(a, b, rtol=rtol, atol=atol, err_msg=k)
     for k in s1.m:
         a, b = np.asarray(s1.m[k]), np.asarray(jax.device_get(s2.m[k]))
         if k == "entity_embedding":
             b = b[:E]
-        np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-7, err_msg=f"m/{k}")
+        np.testing.assert_allclose(a, b, rtol=rtol, atol=max(atol / 20, 1e-7),
+                                   err_msg=f"m/{k}")
     for l1, l2 in zip(logs1, logs2):
         assert l2.pop("routed_overflow", 0.0) == 0.0
         for k in l1:
-            assert l1[k] == pytest.approx(l2[k], rel=2e-5), k
+            assert l1[k] == pytest.approx(l2[k], rel=max(rtol, 1e-5)), k
     # padding rows must stay exactly zero (no grad, no reg drift)
     pad = np.asarray(jax.device_get(p2["entity_embedding"]))[E:]
     assert pad.size and not pad.any()
@@ -181,3 +182,12 @@ def test_fetch_rows_routes_exactly():
         check_vma=False,
     ))(table, ids)
     np.testing.assert_array_equal(np.asarray(rows), np.asarray(table)[np.asarray(ids)])
+
+
+def test_bf16_mixed_precision_sharded():
+    # bf16 compute under the explicit-collective schedule: the sharded
+    # [B/D, ...] layout rounds reductions differently from the single-device
+    # [B, ...] layout at bf16 precision, so parity is tolerance-based (the
+    # f32-master Adam keeps the drift bounded at ~bf16 eps per step)
+    _run_both("RotatE", negative_adversarial_sampling=True, precision="bf16",
+              rtol=5e-2, atol=2e-3)
