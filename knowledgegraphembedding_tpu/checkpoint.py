@@ -50,10 +50,23 @@ OVERRIDE_KEYS = (
 )
 
 
+def _atomic_write(path: str, write_fn) -> None:
+    """Write via temp file + os.replace so a crash mid-save can never leave
+    a truncated artifact — the crash-recovery model (SURVEY.md §5.3) is
+    'resume from the last checkpoint', which must therefore always be a
+    COMPLETE one."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        write_fn(f)
+    os.replace(tmp, path)
+
+
 def save_config(config: RunConfig, save_path: str) -> None:
     os.makedirs(save_path, exist_ok=True)
-    with open(os.path.join(save_path, "config.json"), "w") as f:
-        json.dump(dataclasses.asdict(config), f, indent=2)
+    payload = json.dumps(dataclasses.asdict(config), indent=2).encode()
+    _atomic_write(
+        os.path.join(save_path, "config.json"), lambda f: f.write(payload)
+    )
 
 
 def override_config(config: RunConfig) -> RunConfig:
@@ -91,14 +104,17 @@ def save_model(trainer: Trainer, config: RunConfig, save_path: str) -> None:
     (codes/run.py §save_model)."""
     save_config(config, save_path)
     arrays = _flatten_state(trainer)
-    np.savez(os.path.join(save_path, "checkpoint.npz"), **arrays)
-    np.save(
-        os.path.join(save_path, "entity_embedding.npy"),
-        arrays["param.entity_embedding"],
+    _atomic_write(
+        os.path.join(save_path, "checkpoint.npz"),
+        lambda f: np.savez(f, **arrays),
     )
-    np.save(
+    _atomic_write(
+        os.path.join(save_path, "entity_embedding.npy"),
+        lambda f: np.save(f, arrays["param.entity_embedding"]),
+    )
+    _atomic_write(
         os.path.join(save_path, "relation_embedding.npy"),
-        arrays["param.relation_embedding"],
+        lambda f: np.save(f, arrays["param.relation_embedding"]),
     )
 
 

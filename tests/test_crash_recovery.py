@@ -6,13 +6,14 @@ produce final metrics + artifacts."""
 
 import json
 import os
-import signal
 import subprocess
 import sys
 import time
 
 import numpy as np
 import pytest
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.mark.slow
@@ -25,7 +26,7 @@ def test_sigkill_and_resume(tmp_path):
     save_dir = str(tmp_path / "save")
     save_dataset(ds, data_dir)
 
-    env = dict(os.environ, PYTHONPATH=os.getcwd())
+    env = dict(os.environ, PYTHONPATH=REPO_ROOT)
     args = [
         sys.executable, "-m", "knowledgegraphembedding_tpu.cli",
         "--do_train", "--data_path", data_dir, "--model", "TransE",
@@ -46,7 +47,8 @@ def test_sigkill_and_resume(tmp_path):
             assert proc.poll() is None, "trainer died before first checkpoint"
             assert time.time() < deadline, "no checkpoint within 240s"
             time.sleep(0.5)
-        time.sleep(1.0)  # let the npz write finish
+        # no settle sleep needed: saves are atomic (temp + os.replace), so a
+        # kill landing mid-save can never leave a truncated checkpoint
     finally:
         proc.kill()  # SIGKILL: no cleanup, the crash scenario
         proc.wait(timeout=30)

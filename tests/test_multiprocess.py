@@ -100,7 +100,7 @@ def test_two_process_fleet_trains_consistently(tmp_path):
         os.environ,
         JAX_PLATFORMS="cpu",
         XLA_FLAGS="--xla_force_host_platform_device_count=2",
-        PYTHONPATH=os.getcwd(),
+        PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     procs = [
         subprocess.Popen(
