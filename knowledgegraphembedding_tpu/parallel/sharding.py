@@ -245,6 +245,12 @@ class ShardedTrainer:
         self.step = step_idx + 1
         if step_idx >= self.warm_up_steps:  # same one-shot decay as Trainer
             self.current_learning_rate /= 10.0
+            import logging
+
+            logging.info(
+                "Change learning_rate to %f at step %d",
+                self.current_learning_rate, step_idx,
+            )
             self.opt_state = shard_opt_state(
                 optim.init_state(self.params), self.spec, self.mesh
             )

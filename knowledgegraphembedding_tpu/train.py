@@ -142,6 +142,12 @@ class Trainer:
         # and warm_up_steps*3 (so it usually fires exactly once).
         if step_idx >= self.warm_up_steps:
             self.current_learning_rate = self.current_learning_rate / 10.0
+            import logging
+
+            logging.info(
+                "Change learning_rate to %f at step %d",
+                self.current_learning_rate, step_idx,
+            )  # same line the reference emits (codes/run.py ≈L300)
             self.opt_state = optim.init_state(self.params)
             self.warm_up_steps = self.warm_up_steps * 3
         return logs
