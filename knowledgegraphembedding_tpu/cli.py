@@ -188,6 +188,12 @@ def main(argv=None) -> dict:
     filters = FilterSets.build(ds.train, ds.all_true_triples, ds.nentity, ds.nrelation)
 
     params = kge.init_params(spec, jax.random.PRNGKey(config.seed))
+    # codes/run.py §main ≈L240: per-parameter configuration dump
+    logging.info("Model Parameter Configuration:")
+    for name, val in params.items():
+        logging.info(
+            "Parameter %s: %s, require_grad = True", name, tuple(val.shape)
+        )
     warm_up = config.warm_up_steps if config.warm_up_steps else config.max_steps // 2
     mesh = None
     if config.num_shards > 1:
