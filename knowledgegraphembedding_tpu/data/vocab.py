@@ -24,7 +24,7 @@ def read_dict(path: str) -> Dict[str, int]:
     out: Dict[str, int] = {}
     with open(path) as f:
         for line in f:
-            line = line.rstrip("\n")
+            line = line.strip()  # reference uses strip(): tolerate CRLF files
             if not line:
                 continue
             eid, name = line.split("\t")
@@ -37,7 +37,7 @@ def read_triple(path: str, entity2id: Dict[str, int], relation2id: Dict[str, int
     triples: List[Triple] = []
     with open(path) as f:
         for line in f:
-            line = line.rstrip("\n")
+            line = line.strip()  # reference uses strip(): tolerate CRLF files
             if not line:
                 continue
             h, r, t = line.split("\t")

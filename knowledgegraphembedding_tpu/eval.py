@@ -315,6 +315,8 @@ def test_step(
         ranker = pallas_rank.PallasRanker(params, spec)
 
     n_real = len(test_triples)
+    if n_real == 0:
+        return {}  # empty split: nothing to rank (avoids logs[0] crashes)
     logs: List[Dict[str, float]] = []
 
     if device_filter:

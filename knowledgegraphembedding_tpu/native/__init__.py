@@ -25,14 +25,22 @@ _build_failed = False
 
 
 def _build() -> bool:
-    cmd = [
-        "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
-        "-o", _LIB, _SRC,
-    ]
+    # NB: no -march=native — the .so is disk-cached and may be loaded by a
+    # different host sharing the filesystem (ISA mismatch => SIGILL); the
+    # sampler is RNG+binary-search bound, -O3 portable code is plenty.
+    # Build to a temp path + os.replace so a killed compiler can never leave
+    # a truncated .so that poisons every future load.
+    tmp = _LIB + f".tmp.{os.getpid()}"
+    cmd = ["g++", "-O3", "-fopenmp", "-shared", "-fPIC", "-o", tmp, _SRC]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB)
         return True
     except (OSError, subprocess.SubprocessError):
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -50,8 +58,15 @@ def _load() -> Optional[ctypes.CDLL]:
         try:
             lib = ctypes.CDLL(_LIB)
         except OSError:
-            _build_failed = True
-            return None
+            # a stale/corrupt/foreign-ISA .so: rebuild once before giving up
+            if not _build():
+                _build_failed = True
+                return None
+            try:
+                lib = ctypes.CDLL(_LIB)
+            except OSError:
+                _build_failed = True
+                return None
         lib.kge_sample_negatives.argtypes = [
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,

@@ -68,23 +68,47 @@ def _pad_cols(x, span: int, span_pad: int, two_halves: bool):
     return jnp.pad(x, pad)
 
 
-def left_rows(params, spec: ModelSpec, pos, mode: str):
-    """Precompute the candidate-independent side L [B, de] in XLA (gathers
-    B+B rows — negligible), so the kernel's inner loop is pure elementwise.
+def _unpad_cols(x, span: int, span_pad: int, two_halves: bool):
+    """Inverse of _pad_cols: recover the original (re|im) layout from
+    lane-padded rows (lets the wrapper gather its few L/true rows from the
+    PADDED table, so the unpadded table never needs to stay resident)."""
+    if span == span_pad:
+        return x
+    if two_halves:
+        return jnp.concatenate(
+            [x[..., :span], x[..., span_pad: span_pad + span]], axis=-1
+        )
+    return x[..., :span]
 
-    tail-batch: candidates replace the tail; head-batch: the head. Both
-    reduce to |L - C| (RotatE uses |conj(r)∘t - h| = |t∘conj(r) - h| for
-    head-batch — same magnitude as the reference's grouped form)."""
-    ent = params["entity_embedding"]
-    rel = params["relation_embedding"]
-    r = jnp.take(rel, pos[:, 1], axis=0)
+
+def true_scores(left, true_rows, spec: ModelSpec, modulus):
+    """Score of the true candidate given the precomputed L rows — the ONE
+    implementation shared by the Pallas wrapper and the sharded evaluator
+    (identical math to the kernel's per-candidate form)."""
     name = spec.model_name
-    if mode == scorers.TAIL_BATCH:
-        fixed = jnp.take(ent, pos[:, 0], axis=0)  # heads
-        sign = 1.0
-    else:
-        fixed = jnp.take(ent, pos[:, 2], axis=0)  # tails
-        sign = -1.0
+    gamma = spec.gamma
+    if name == "RotatE":
+        half = left.shape[-1] // 2
+        dre = left[:, :half] - true_rows[:, :half]
+        dim = left[:, half:] - true_rows[:, half:]
+        sq = dre * dre + dim * dim
+        mag = jnp.where(sq > 0, jnp.sqrt(jnp.maximum(sq, 1e-30)), 0.0)
+        return gamma - jnp.sum(mag, axis=-1, dtype=jnp.float32)
+    if name == "TransE":
+        return gamma - jnp.sum(jnp.abs(left - true_rows), axis=-1,
+                               dtype=jnp.float32)
+    inv_scale = PI / spec.embedding_range
+    return gamma - modulus * jnp.sum(
+        jnp.abs(jnp.sin(left - true_rows * inv_scale)), axis=-1,
+        dtype=jnp.float32,
+    )
+
+
+def left_from_rows(fixed, r, spec: ModelSpec, mode: str):
+    """L rows from pre-gathered fixed-entity rows [B, de] and relation rows
+    [B, dr] (tail-batch: fixed = heads; head-batch: fixed = tails)."""
+    name = spec.model_name
+    sign = 1.0 if mode == scorers.TAIL_BATCH else -1.0
     if name == "TransE":
         # tail: L = h + r;  head: |h + r - t| = |t - r - h| -> L = t - r
         return fixed + sign * r
@@ -102,6 +126,23 @@ def left_rows(params, spec: ModelSpec, pos, mode: str):
         im_l = re_f * im_r + im_f * re_r
         return jnp.concatenate([re_l, im_l], axis=-1)
     raise ValueError(f"{name} not in the distance family")
+
+
+def left_rows(params, spec: ModelSpec, pos, mode: str):
+    """Precompute the candidate-independent side L [B, de] in XLA (gathers
+    B+B rows — negligible), so the kernel's inner loop is pure elementwise.
+
+    tail-batch: candidates replace the tail; head-batch: the head. Both
+    reduce to |L - C| (RotatE uses |conj(r)∘t - h| = |t∘conj(r) - h| for
+    head-batch — same magnitude as the reference's grouped form)."""
+    ent = params["entity_embedding"]
+    rel = params["relation_embedding"]
+    r = jnp.take(rel, pos[:, 1], axis=0)
+    if mode == scorers.TAIL_BATCH:
+        fixed = jnp.take(ent, pos[:, 0], axis=0)  # heads
+    else:
+        fixed = jnp.take(ent, pos[:, 2], axis=0)  # tails
+    return left_from_rows(fixed, r, spec, mode)
 
 
 def _rank_kernel(
@@ -230,14 +271,15 @@ def rank_counts(
 class PallasRanker:
     """Prepares the lane-padded table once, then ranks eval batches through
     the fused kernel. Construct per evaluation (the table changes between
-    training evals)."""
+    training evals). Only the PADDED table stays live — the wrapper gathers
+    its few L/true rows from it and un-pads them, so eval never holds two
+    copies of the entity table in HBM."""
 
     def __init__(self, params, spec: ModelSpec, TE: int = 512,
                  interpret: bool = False):
         if not supports(spec.model_name):
             raise ValueError(spec.model_name)
         self.spec = spec
-        self.params = params
         self.interpret = interpret
         table = params["entity_embedding"]
         de = table.shape[1]
@@ -251,33 +293,15 @@ class PallasRanker:
         if Epad != t.shape[0]:
             t = jnp.pad(t, ((0, Epad - t.shape[0]), (0, 0)))
         self.table = t
+        self.rel = params["relation_embedding"]
         self.Epad = Epad
         self.modulus = jnp.asarray(params.get("modulus", jnp.float32(1.0)))
-        self.gamma = spec.gamma
-        self.inv_scale = PI / spec.embedding_range
-
-    def _true_score(self, left, true_rows):
-        name = self.spec.model_name
-        if name == "RotatE":
-            half = self.span
-            dre = left[:, :half] - true_rows[:, :half]
-            dim = left[:, half:] - true_rows[:, half:]
-            sq = dre * dre + dim * dim
-            mag = jnp.where(sq > 0, jnp.sqrt(jnp.maximum(sq, 1e-30)), 0.0)
-            return self.gamma - jnp.sum(mag, axis=-1, dtype=jnp.float32)
-        if name == "TransE":
-            return self.gamma - jnp.sum(jnp.abs(left - true_rows), axis=-1,
-                                        dtype=jnp.float32)
-        return self.gamma - self.modulus * jnp.sum(
-            jnp.abs(jnp.sin(left - true_rows * self.inv_scale)), axis=-1,
-            dtype=jnp.float32,
-        )
 
     def ranks(self, pos: jnp.ndarray, filter_mask: jnp.ndarray, mode: str):
         # the whole pre/post-processing chain is one jitted program — on a
         # remote-dispatch runtime every eager op costs a round trip
         return _ranks_jit(
-            self.params, self.table, self.modulus, pos, filter_mask,
+            self.table, self.rel, self.modulus, pos, filter_mask,
             spec=self.spec, mode=mode, TE=self.TE, half_pad=self.half_pad,
             span=self.span, two_halves=self.two_halves, Epad=self.Epad,
             interpret=self.interpret,
@@ -289,19 +313,18 @@ class PallasRanker:
     static_argnames=("spec", "mode", "TE", "half_pad", "span", "two_halves",
                      "Epad", "interpret"),
 )
-def _ranks_jit(params, table_padded, modulus, pos, filter_mask, *,
+def _ranks_jit(table_padded, rel_table, modulus, pos, filter_mask, *,
                spec: ModelSpec, mode: str, TE: int, half_pad: int, span: int,
                two_halves: bool, Epad: int, interpret: bool):
-    left = left_rows(params, spec, pos, mode)
+    fixed_ids = pos[:, 0] if mode == scorers.TAIL_BATCH else pos[:, 2]
     true_ids = pos[:, 0] if mode == scorers.HEAD_BATCH else pos[:, 2]
-    true_rows = jnp.take(params["entity_embedding"], true_ids, axis=0)
-    ranker_math = PallasRanker.__new__(PallasRanker)  # reuse _true_score math
-    ranker_math.spec = spec
-    ranker_math.span = span
-    ranker_math.gamma = spec.gamma
-    ranker_math.inv_scale = PI / spec.embedding_range
-    ranker_math.modulus = modulus
-    true_score = ranker_math._true_score(left, true_rows)
+    fixed = _unpad_cols(jnp.take(table_padded, fixed_ids, axis=0),
+                        span, half_pad, two_halves)
+    true_rows = _unpad_cols(jnp.take(table_padded, true_ids, axis=0),
+                            span, half_pad, two_halves)
+    r = jnp.take(rel_table, pos[:, 1], axis=0)
+    left = left_from_rows(fixed, r, spec, mode)
+    true_score = true_scores(left, true_rows, spec, modulus)
     left_p = _pad_cols(left, span, half_pad, two_halves)
     if filter_mask.shape[1] < Epad:
         filter_mask = jnp.pad(

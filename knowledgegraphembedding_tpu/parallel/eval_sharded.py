@@ -47,23 +47,9 @@ def _left_and_true(params, spec: ModelSpec, pos, mode: str):
         return left, true_score, true_ids
     left = pallas_rank.left_rows(params, spec, pos, mode)
     true_rows = jnp.take(params["entity_embedding"], true_ids, axis=0)
-    name = spec.model_name
-    if name == "RotatE":
-        half = left.shape[-1] // 2
-        dre = left[:, :half] - true_rows[:, :half]
-        dim = left[:, half:] - true_rows[:, half:]
-        sq = dre * dre + dim * dim
-        mag = jnp.where(sq > 0, jnp.sqrt(jnp.maximum(sq, 1e-30)), 0.0)
-        true_score = spec.gamma - jnp.sum(mag, axis=-1, dtype=jnp.float32)
-    elif name == "TransE":
-        true_score = spec.gamma - jnp.sum(jnp.abs(left - true_rows), axis=-1,
-                                          dtype=jnp.float32)
-    else:  # pRotatE
-        inv_scale = pallas_rank.PI / spec.embedding_range
-        true_score = spec.gamma - params["modulus"] * jnp.sum(
-            jnp.abs(jnp.sin(left - true_rows * inv_scale)), axis=-1,
-            dtype=jnp.float32,
-        )
+    true_score = pallas_rank.true_scores(
+        left, true_rows, spec, params.get("modulus", jnp.float32(1.0))
+    )
     return left, true_score, true_ids
 
 

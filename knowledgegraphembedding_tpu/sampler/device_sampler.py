@@ -139,6 +139,16 @@ class DeviceSampler:
         else:
             keys, vals, n_keys = r.astype(np.int64) * nentity + t, h, nrelation * nentity
 
+        # guard: a key whose true set covers EVERY entity has no valid
+        # negatives — the jitted rejection while_loop would never terminate
+        uniq_pairs = np.unique(keys.astype(np.int64) * nentity + vals)
+        counts = np.unique(uniq_pairs // nentity, return_counts=True)[1]
+        if counts.size and counts.max() >= nentity:
+            raise ValueError(
+                "a positive's TRAIN-true partner set covers every entity — "
+                f"no valid negatives exist (mode={mode})"
+            )
+
         # device-resident state
         self.triples = jnp.asarray(triples)
         self.weights = jnp.asarray(subsampling_weights(triples, nrelation))

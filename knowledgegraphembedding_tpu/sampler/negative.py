@@ -107,9 +107,19 @@ class TrainSampler:
         r = self.triples[:, 1].astype(np.int64)
         t = self.triples[:, 2].astype(np.int64)
         if mode == TAIL_BATCH:
-            self._true_enc = np.sort((h * nrelation + r) * nentity + t)
+            enc = (h * nrelation + r) * nentity + t
         else:
-            self._true_enc = np.sort((r * nentity + t) * nentity + h)
+            enc = (r * nentity + t) * nentity + h
+        # unique: duplicates never help membership tests, and it makes the
+        # per-key count an exact coverage measure for the guard below
+        self._true_enc = np.unique(enc)
+        counts = np.unique(self._true_enc // nentity, return_counts=True)[1]
+        if counts.size and counts.max() >= nentity:
+            raise ValueError(
+                "a positive's TRAIN-true partner set covers every entity — "
+                "no valid negatives exist; rejection sampling cannot "
+                f"terminate (mode={mode})"
+            )
         self.nrelation = nrelation
 
     def _next_indices(self) -> np.ndarray:
