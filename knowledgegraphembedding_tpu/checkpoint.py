@@ -101,7 +101,11 @@ def _flatten_state(trainer: Trainer) -> dict:
 
 def save_model(trainer: Trainer, config: RunConfig, save_path: str) -> None:
     """config.json + checkpoint.npz + the two .npy table exports
-    (codes/run.py §save_model)."""
+    (codes/run.py §save_model). Multi-host: only process 0 writes — every
+    host holds the same replicated/allgathered state, and N hosts racing on
+    one path (shared filesystems) would just burn bandwidth."""
+    if jax.process_index() != 0:
+        return
     save_config(config, save_path)
     arrays = _flatten_state(trainer)
     _atomic_write(
