@@ -101,13 +101,13 @@ def _flatten_state(trainer: Trainer) -> dict:
 
 def save_model(trainer: Trainer, config: RunConfig, save_path: str) -> None:
     """config.json + checkpoint.npz + the two .npy table exports
-    (codes/run.py §save_model). Multi-host: only process 0 writes — every
-    host holds the same replicated/allgathered state, and N hosts racing on
-    one path (shared filesystems) would just burn bandwidth."""
+    (codes/run.py §save_model). Multi-host: gathering the sharded state is
+    a COLLECTIVE — every process must run it or the fleet deadlocks — but
+    only process 0 touches the filesystem."""
+    arrays = _flatten_state(trainer)
     if jax.process_index() != 0:
         return
     save_config(config, save_path)
-    arrays = _flatten_state(trainer)
     _atomic_write(
         os.path.join(save_path, "checkpoint.npz"),
         lambda f: np.savez(f, **arrays),

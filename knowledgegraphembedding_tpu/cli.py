@@ -108,6 +108,15 @@ def parse_args(argv=None) -> RunConfig:
                         "site hook pins JAX_PLATFORMS; cpu + "
                         "XLA_FLAGS=--xla_force_host_platform_device_count=N "
                         "gives an N-device virtual mesh)")
+    p.add_argument("--multihost", action="store_true",
+                   help="bring up the jax.distributed runtime: the mesh "
+                        "spans every process's devices, the triple stream "
+                        "is edge-partitioned per host, process 0 writes "
+                        "logs/checkpoints. On TPU pods the coordinator is "
+                        "auto-detected; otherwise pass the three flags below")
+    p.add_argument("--coordinator_address", type=str, default=None)
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     ns = p.parse_args(argv)
     return RunConfig(**vars(ns))
 
@@ -134,6 +143,15 @@ def main(argv=None) -> dict:
     config = parse_args(argv)
     if config.platform != "auto":
         jax.config.update("jax_platforms", config.platform)
+    if config.multihost:
+        # must run before ANYTHING touches the XLA backend
+        from .parallel import multihost
+
+        multihost.initialize(
+            coordinator_address=config.coordinator_address,
+            num_processes=config.num_processes,
+            process_id=config.process_id,
+        )
 
     from . import checkpoint as ckpt_mod
     from . import eval as eval_mod
@@ -195,12 +213,20 @@ def main(argv=None) -> dict:
             "Parameter %s: %s, require_grad = True", name, tuple(val.shape)
         )
     warm_up = config.warm_up_steps if config.warm_up_steps else config.max_steps // 2
+    if config.multihost and config.num_shards == 1:
+        config.num_shards = jax.device_count()  # span the whole fleet
     mesh = None
     if config.num_shards > 1:
         from .parallel import sharding as sharding_mod
 
         mesh = sharding_mod.build_mesh(config.num_shards)
         logging.info("SPMD mesh: %d devices on axis 'data'", config.num_shards)
+        if config.multihost:
+            logging.info(
+                "multihost: process %d/%d, %d local devices",
+                jax.process_index(), jax.process_count(),
+                jax.local_device_count(),
+            )
         trainer = sharding_mod.ShardedTrainer(
             spec, tspec, params, lr=config.learning_rate,
             warm_up_steps=warm_up, mesh=mesh,
@@ -257,12 +283,31 @@ def main(argv=None) -> dict:
             ) and ds.nentity * ds.nrelation <= MAX_DENSE_KEYS:
                 sampler_backend = "device"
                 logging.info("sampler backend: device (auto)")
+        # multihost: each host's epoch permutation covers ITS edge-
+        # partitioned shard of the train rows, at the local batch size;
+        # filter sets and subsampling weights stay computed over the FULL
+        # train set (reference semantics). Seeds differ per host so shards
+        # draw independent negatives.
+        index_subset = None
+        stream_batch = config.batch_size
+        stream_seed = config.seed
+        if config.multihost and jax.process_count() > 1:
+            from .parallel import multihost
+
+            index_subset = np.arange(len(ds.train))[
+                jax.process_index():: jax.process_count()
+            ]
+            stream_batch = multihost.host_batch_size(config.batch_size)
+            stream_seed = config.seed + 7919 * jax.process_index()
+            if sampler_backend == "device":
+                sampler_backend = "auto"  # no edge partitioning on device yet
         it = build_train_iterator(
             ds.train, ds.nentity, ds.nrelation,
-            config.batch_size, config.negative_sample_size, filters,
-            seed=config.seed, prefetch_depth=config.prefetch_depth,
+            stream_batch, config.negative_sample_size, filters,
+            seed=stream_seed, prefetch_depth=config.prefetch_depth,
             backend=sampler_backend,
             negative_sharing=config.negative_sharing,
+            index_subset=index_subset,
         )
         from .utils.profiling import trace as profiler_trace
 
@@ -285,7 +330,10 @@ def main(argv=None) -> dict:
             )
             if log_acc is None:
                 log_keys = sorted(logs)
-                log_acc = jnp.zeros(len(log_keys), jnp.float32)
+                # numpy (uncommitted) seed value: on a multihost fleet the
+                # step's logs are global replicated arrays and a committed
+                # local zeros array could not join their jit
+                log_acc = np.zeros(len(log_keys), np.float32)
             log_acc = acc_fn(log_acc, [logs[k] for k in log_keys])
             n_since += 1
 
@@ -305,7 +353,7 @@ def main(argv=None) -> dict:
                         "routed exchange bucket overflow detected — "
                         "capacity exceeded; use --spmd_mode shardmap"
                     )
-                log_acc = jnp.zeros(len(log_keys), jnp.float32)
+                log_acc = np.zeros(len(log_keys), np.float32)
                 t_last = time.time()
                 n_since = 0
 

@@ -154,6 +154,10 @@ class RunConfig:
     profile_dir: Optional[str] = None  # jax.profiler trace output dir
     eval_filter: str = "auto"  # 'auto' | 'host' | 'device' (device-resident CSR)
     platform: str = "auto"  # 'auto' | 'cpu' | 'tpu' (force the JAX backend)
+    multihost: bool = False  # jax.distributed fleet (mesh spans all processes)
+    coordinator_address: Optional[str] = None
+    num_processes: Optional[int] = None
+    process_id: Optional[int] = None
     # 'gspmd'    — annotate shardings, let XLA insert collectives
     # 'shardmap' — hand-scheduled collectives (all_gather table fwd,
     #              psum_scatter grads bwd; parallel/shard_map_step.py)

@@ -167,7 +167,13 @@ def sharded_test_step(
     if device_filter is None:
         from ..data.filterset import MAX_DENSE_KEYS
 
-        device_filter = spec.nentity * spec.nrelation <= MAX_DENSE_KEYS
+        # multi-process: the device path builds committed LOCAL arrays that
+        # cannot feed a global-mesh jit; host masks (numpy, uncommitted)
+        # are placed by the jit itself on every host identically
+        device_filter = (
+            jax.process_count() == 1
+            and spec.nentity * spec.nrelation <= MAX_DENSE_KEYS
+        )
     dev_filter = None
     pos_batches = []
     if device_filter:
@@ -211,8 +217,10 @@ def sharded_test_step(
             mask = filters.filter_mask_rows(pos_p, mode)
             if mask.shape[1] < Epad:
                 mask = np.pad(mask, ((0, 0), (0, Epad - mask.shape[1])))
+            # numpy (uncommitted) inputs: the mesh jit places them per its
+            # in_shardings — a committed jnp array would break multi-host
             ranks = np.asarray(
-                fns[mode](params, jnp.asarray(pos_p), jnp.asarray(mask))
+                fns[mode](params, np.asarray(pos_p), np.asarray(mask))
             )[:B]
             logs.extend(eval_mod.metrics_from_ranks(ranks))
     return {k: float(np.mean([lg[k] for lg in logs])) for k in logs[0]}

@@ -84,16 +84,36 @@ def _named(mesh: Mesh, tree_specs):
     )
 
 
+def _place(value, sharding: NamedSharding):
+    """Host array -> global device array under ``sharding``.
+
+    Single-process: plain device_put. Multi-process: every host holds the
+    SAME full host copy (identical PRNG init / identical checkpoint), so
+    each host contributes its addressable shards via
+    ``make_array_from_callback`` — device_put cannot build an array spanning
+    non-addressable devices."""
+    if jax.process_count() == 1:
+        return jax.device_put(value, sharding)
+    if isinstance(value, jax.Array) and not value.is_fully_addressable:
+        # already a global array (e.g. zeros_like of sharded params):
+        # device_put reshards on-device, no host round trip
+        return jax.device_put(value, sharding)
+    value = np.asarray(value)
+    return jax.make_array_from_callback(
+        value.shape, sharding, lambda idx: value[idx]
+    )
+
+
 def shard_params(params: kge.Params, spec: ModelSpec, mesh: Mesh) -> kge.Params:
     """Place an (unsharded) param pytree onto the mesh. Entity rows must
     divide the mesh for even layout; pad_entities() handles ragged tables."""
     sh = _named(mesh, param_specs(spec))
-    return jax.tree.map(jax.device_put, params, sh)
+    return jax.tree.map(_place, params, sh)
 
 
 def shard_opt_state(state: optim.AdamState, spec: ModelSpec, mesh: Mesh) -> optim.AdamState:
     sh = _named(mesh, opt_specs(spec))
-    return jax.tree.map(jax.device_put, state, sh)
+    return jax.tree.map(_place, state, sh)
 
 
 def shard_batch(mesh: Mesh, pos, neg, weight):
@@ -162,8 +182,24 @@ def pad_params(params: kge.Params, n_shards: int) -> kge.Params:
 
 
 def replicate_to_host(params: kge.Params) -> kge.Params:
-    """Gather a (possibly sharded) param tree to host numpy (checkpointing)."""
-    return jax.tree.map(lambda x: np.asarray(jax.device_get(x)), params)
+    """Gather a (possibly sharded) param tree to host numpy (checkpointing).
+
+    Multi-process: a row-sharded global array is not fully addressable on
+    any one host, so replicate it on-device first (an all_gather over ICI),
+    then read the local copy."""
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: np.asarray(jax.device_get(x)), params)
+
+    def to_host(x):
+        if not isinstance(x, jax.Array) or x.is_fully_addressable:
+            return np.asarray(jax.device_get(x))
+        mesh = x.sharding.mesh
+        repl = jax.jit(
+            lambda a: a, out_shardings=NamedSharding(mesh, P())
+        )(x)
+        return np.asarray(repl.addressable_shards[0].data)
+
+    return jax.tree.map(to_host, params)
 
 
 class ShardedTrainer:
@@ -209,10 +245,12 @@ class ShardedTrainer:
     def checkpoint_state(self):
         p = self.host_params()
         E = self.spec.nentity
-        m = {k: np.asarray(v)[:E] if k == "entity_embedding" else np.asarray(v)
-             for k, v in self.opt_state.m.items()}
-        v_ = {k: np.asarray(v)[:E] if k == "entity_embedding" else np.asarray(v)
-              for k, v in self.opt_state.v.items()}
+        m_full = replicate_to_host(self.opt_state.m)
+        v_full = replicate_to_host(self.opt_state.v)
+        m = {k: v[:E] if k == "entity_embedding" else v
+             for k, v in m_full.items()}
+        v_ = {k: v[:E] if k == "entity_embedding" else v
+              for k, v in v_full.items()}
         state = optim.AdamState(count=np.asarray(self.opt_state.count), m=m, v=v_)
         return p, state
 
@@ -233,10 +271,15 @@ class ShardedTrainer:
         self.warm_up_steps = warm_up_steps
 
     def one_step(self, batch):
+        """batch holds THIS HOST's rows (the full batch single-process; the
+        local shard of the global batch on a multi-host fleet)."""
+        from . import multihost
+
         pos, neg, weight, mode = batch
         step_idx = self.step
-        pos_d, neg_d, w_d = shard_batch(
-            self.mesh, jnp.asarray(pos), jnp.asarray(neg), jnp.asarray(weight)
+        pos_d, neg_d, w_d = multihost.global_batch(
+            self.mesh, np.asarray(pos), np.asarray(neg),
+            np.asarray(weight, np.float32),
         )
         self.params, self.opt_state, logs = self._fns[mode](
             self.params, self.opt_state, pos_d, neg_d, w_d,

@@ -76,6 +76,7 @@ class TrainSampler:
         seed: int = 0,
         backend: str = "auto",  # 'auto' | 'native' | 'numpy'
         negative_sharing: str = "none",  # 'none' (reference) | 'batch' (PBG-style)
+        index_subset: Optional[np.ndarray] = None,
     ):
         assert mode in (HEAD_BATCH, TAIL_BATCH)
         assert backend in ("auto", "native", "numpy")
@@ -99,6 +100,16 @@ class TrainSampler:
         self.filters = filters
         self.rng = np.random.default_rng(seed)
         self.weights = subsampling_weights(self.triples, nrelation)
+        # multihost edge partitioning: the epoch permutation draws only this
+        # host's row indices, while weights and the rejection filter stay
+        # computed over the FULL train set (reference semantics)
+        self._index_pool = (
+            np.asarray(index_subset, np.int64)
+            if index_subset is not None
+            else np.arange(len(self.triples), dtype=np.int64)
+        )
+        if len(self._index_pool) == 0:
+            raise ValueError("empty train-stream shard — nothing to sample")
         self._order = np.empty(0, np.int64)
         # Encoded train-true set for the vectorized membership test:
         # tail-batch key (h, r) -> encode (h*R + r)*E + t
@@ -125,7 +136,7 @@ class TrainSampler:
     def _next_indices(self) -> np.ndarray:
         while self._order.size < self.batch_size:
             self._order = np.concatenate(
-                [self._order, self.rng.permutation(len(self.triples))]
+                [self._order, self.rng.permutation(self._index_pool)]
             )
         idx, self._order = (
             self._order[: self.batch_size],
@@ -282,13 +293,22 @@ def build_train_iterator(
     prefetch_depth: int = 4,
     backend: str = "auto",
     negative_sharing: str = "none",
+    index_subset: Optional[np.ndarray] = None,
 ):
     """The analogue of codes/run.py §main's two-DataLoader construction.
 
     backend='device' builds the TPU-resident sampler (device_sampler.py):
     the whole draw→reject pipeline runs jitted on the accelerator and the
-    host ships a [B] index vector per step instead of [B,3]+[B,n]+[B]."""
+    host ships a [B] index vector per step instead of [B,3]+[B,n]+[B].
+    ``index_subset`` restricts the epoch permutation to a shard of the
+    train rows (multihost edge partitioning) without touching the filter
+    sets or subsampling weights."""
     if backend == "device":
+        if index_subset is not None:
+            raise ValueError(
+                "the device sampler does not support edge partitioning yet; "
+                "use a host backend for --multihost runs"
+            )
         from .device_sampler import build_device_iterator
 
         return build_device_iterator(
@@ -299,12 +319,12 @@ def build_train_iterator(
     head = TrainSampler(
         train, nentity, nrelation, batch_size, negative_sample_size,
         HEAD_BATCH, filters, seed=seed, backend=backend,
-        negative_sharing=negative_sharing,
+        negative_sharing=negative_sharing, index_subset=index_subset,
     )
     tail = TrainSampler(
         train, nentity, nrelation, batch_size, negative_sample_size,
         TAIL_BATCH, filters, seed=seed + 1, backend=backend,
-        negative_sharing=negative_sharing,
+        negative_sharing=negative_sharing, index_subset=index_subset,
     )
     it = BidirectionalIterator(head, tail)
     if prefetch_depth > 0:

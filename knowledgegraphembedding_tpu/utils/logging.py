@@ -13,7 +13,9 @@ def set_logger(save_path: str | None, do_train: bool) -> None:
     """python logging -> <save_path>/train.log (test.log when not training)
     + console, format '%(asctime)s %(levelname)s %(message)s'."""
     handlers = []
-    if save_path:
+    if save_path and _is_process_zero():
+        # multi-host fleets: one writer — N hosts appending to the same
+        # file on a shared filesystem would interleave garbage
         os.makedirs(save_path, exist_ok=True)
         log_file = os.path.join(save_path, "train.log" if do_train else "test.log")
         handlers.append(logging.FileHandler(log_file, mode="a"))
@@ -27,6 +29,15 @@ def set_logger(save_path: str | None, do_train: bool) -> None:
     for h in handlers + [logging.StreamHandler()]:
         h.setFormatter(fmt)
         root.addHandler(h)
+
+
+def _is_process_zero() -> bool:
+    try:
+        import jax
+
+        return jax.process_index() == 0
+    except Exception:
+        return True
 
 
 def log_metrics(mode: str, step: int, metrics: Dict[str, float]) -> None:
