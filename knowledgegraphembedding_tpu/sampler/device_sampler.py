@@ -115,7 +115,8 @@ class DeviceSampler:
 
     def __init__(self, triples: np.ndarray, nentity: int, nrelation: int,
                  batch_size: int, negative_sample_size: int, mode: str,
-                 seed: int = 0, negative_sharing: str = "none"):
+                 seed: int = 0, negative_sharing: str = "none",
+                 index_subset=None):
         assert mode in (HEAD_BATCH, TAIL_BATCH)
         triples = np.asarray(triples, np.int32)
         if len(triples) == 0:
@@ -156,6 +157,16 @@ class DeviceSampler:
                               n_keys, sentinel=nentity)
 
         self._key = jax.random.PRNGKey(seed)
+        # multihost edge partitioning: the host-side epoch permutation draws
+        # only this host's row indices; the resident triples/weights/filter
+        # CSR stay FULL-train (reference semantics, same as negative.py)
+        self._index_pool = (
+            np.asarray(index_subset, np.int64)
+            if index_subset is not None
+            else np.arange(self.n_train, dtype=np.int64)
+        )
+        if len(self._index_pool) == 0:
+            raise ValueError("empty train-stream shard — nothing to sample")
         self._order = np.empty(0, np.int64)
         self._rng = np.random.default_rng(seed)
         self._sample = jax.jit(
@@ -167,7 +178,7 @@ class DeviceSampler:
     def _next_indices(self) -> np.ndarray:
         while self._order.size < self.batch_size:
             self._order = np.concatenate(
-                [self._order, self._rng.permutation(self.n_train)]
+                [self._order, self._rng.permutation(self._index_pool)]
             )
         idx, self._order = (
             self._order[: self.batch_size],
@@ -268,11 +279,13 @@ class DeviceBidirectionalIterator:
 def build_device_iterator(train: np.ndarray, nentity: int, nrelation: int,
                           batch_size: int, negative_sample_size: int,
                           seed: int = 0, negative_sharing: str = "none",
-                          depth: int = 2):
+                          depth: int = 2, index_subset=None):
     head = DeviceSampler(train, nentity, nrelation, batch_size,
                          negative_sample_size, HEAD_BATCH, seed=seed,
-                         negative_sharing=negative_sharing)
+                         negative_sharing=negative_sharing,
+                         index_subset=index_subset)
     tail = DeviceSampler(train, nentity, nrelation, batch_size,
                          negative_sample_size, TAIL_BATCH, seed=seed + 1,
-                         negative_sharing=negative_sharing)
+                         negative_sharing=negative_sharing,
+                         index_subset=index_subset)
     return DeviceBidirectionalIterator(head, tail, depth=depth)

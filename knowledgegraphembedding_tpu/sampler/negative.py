@@ -304,17 +304,12 @@ def build_train_iterator(
     train rows (multihost edge partitioning) without touching the filter
     sets or subsampling weights."""
     if backend == "device":
-        if index_subset is not None:
-            raise ValueError(
-                "the device sampler does not support edge partitioning yet; "
-                "use a host backend for --multihost runs"
-            )
         from .device_sampler import build_device_iterator
 
         return build_device_iterator(
             train, nentity, nrelation, batch_size, negative_sample_size,
             seed=seed, negative_sharing=negative_sharing,
-            depth=max(1, prefetch_depth // 2),
+            depth=max(1, prefetch_depth // 2), index_subset=index_subset,
         )
     head = TrainSampler(
         train, nentity, nrelation, batch_size, negative_sample_size,
