@@ -29,18 +29,16 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+import jax
+
 from ..config import ModelSpec
+from ..models.scorers import _split2  # canonical (re, im) split convention
 
 DENSE_MODELS = ("DistMult", "ComplEx")
 
 
 def supports_dense(model_name: str) -> bool:
     return model_name in DENSE_MODELS
-
-
-def _split2(x):
-    half = x.shape[-1] // 2
-    return x[..., :half], x[..., half:]
 
 
 def phi(model_name: str, h: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
@@ -97,10 +95,21 @@ def dense_scores_all(
     fixed_ids = pos[:, 2] if mode == "head-batch" else pos[:, 0]
     fixed = jnp.take(ent, fixed_ids, axis=0)
     left = phi_for_mode(spec.model_name, fixed, rel, mode)
+    # On TPU the MXU's DEFAULT matmul precision truncates f32 operands to
+    # bf16 — measured ~3e-3 divergence from the gather path, silently
+    # breaking f32 reference parity. When the caller asked for f32, force
+    # HIGHEST (full f32 via multi-pass); when bf16 was requested, the
+    # default single-pass bf16 is exactly what's wanted.
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if compute_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
     return jnp.dot(
         left.astype(compute_dtype),
         ent.T.astype(compute_dtype),
         preferred_element_type=jnp.float32,
+        precision=precision,
     )
 
 

@@ -57,7 +57,10 @@ def _local_scores(table_local, left, spec: ModelSpec, modulus):
     """f32[B, E_local]: scores of the local candidate rows."""
     name = spec.model_name
     if matmul_scoring.supports_dense(name):
-        return jnp.dot(left, table_local.T, preferred_element_type=jnp.float32)
+        # HIGHEST: the MXU's default precision truncates f32 to bf16 and
+        # flips ranks of near-tied candidates (see ops/matmul_scoring.py)
+        return jnp.dot(left, table_local.T, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
     if name == "RotatE":
         half = left.shape[-1] // 2
         dre = left[:, None, :half] - table_local[None, :, :half]

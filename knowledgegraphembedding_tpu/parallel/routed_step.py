@@ -130,10 +130,17 @@ def make_routed_train_step(spec: ModelSpec, tspec: TrainSpec, mesh,
         cap = _capacity(n_neg, n_shards, n_skewed=2 * Bl)
         rows, fill = fetch_rows(ent_local, ids, n_shards=n_shards,
                                 capacity=cap)
+        r_rows = jnp.take(params["relation_embedding"], pos[:, 1], axis=0)
+        if tspec.precision == "bf16":
+            # same mixed-precision contract as the other schedules: bf16
+            # score math (the exchange already moved f32 rows), f32
+            # reductions in the loss, f32 master weights in Adam
+            rows = rows.astype(jnp.bfloat16)
+            r_rows = r_rows.astype(jnp.bfloat16)
         h = rows[:Bl][:, None, :]
         t = rows[Bl: 2 * Bl][:, None, :]
         neg_rows = rows[2 * Bl:].reshape(*neg.shape, -1)  # [Bl|1, n, de]
-        r = jnp.take(params["relation_embedding"], pos[:, 1], axis=0)[:, None, :]
+        r = r_rows[:, None, :]
 
         kw = dict(gamma=spec.gamma, embedding_range=spec.embedding_range,
                   modulus=params.get("modulus"))
@@ -146,44 +153,15 @@ def make_routed_train_step(spec: ModelSpec, tspec: TrainSpec, mesh,
         positive_score = scorers.score_fn(
             spec.model_name, h, r, t, mode=scorers.SINGLE, **kw)
 
-        # global loss assembly: identical scheme to shard_map_step.py
-        if tspec.negative_adversarial_sampling:
-            adv_w = jax.lax.stop_gradient(
-                jax.nn.softmax(negative_score * tspec.adversarial_temperature,
-                               axis=1))
-            neg_term = jnp.sum(adv_w * loss_ops.log_sigmoid(-negative_score),
-                               axis=1)
-        else:
-            neg_term = jnp.mean(loss_ops.log_sigmoid(-negative_score), axis=1)
-        pos_term = loss_ops.log_sigmoid(positive_score)[:, 0]
-        if tspec.uni_weight:
-            denom = jnp.float32(Bl * n_shards)
-            positive_sample_loss = -jax.lax.psum(jnp.sum(pos_term), DATA_AXIS) / denom
-            negative_sample_loss = -jax.lax.psum(jnp.sum(neg_term), DATA_AXIS) / denom
-        else:
-            wsum = jax.lax.psum(jnp.sum(weight), DATA_AXIS)
-            positive_sample_loss = -jax.lax.psum(
-                jnp.sum(weight * pos_term), DATA_AXIS) / wsum
-            negative_sample_loss = -jax.lax.psum(
-                jnp.sum(weight * neg_term), DATA_AXIS) / wsum
-        loss = (positive_sample_loss + negative_sample_loss) / 2
-        logs = {
-            "positive_sample_loss": positive_sample_loss,
-            "negative_sample_loss": negative_sample_loss,
-            "loss": loss,
-            "routed_overflow": jax.lax.pmax(
-                (fill > cap).astype(jnp.int32), DATA_AXIS
-            ),
-        }
-        if tspec.regularization != 0.0:
-            ent_l3 = jax.lax.psum(jnp.sum(jnp.abs(ent_local) ** 3), DATA_AXIS)
-            rel_l3_over_d = jax.lax.psum(
-                jnp.sum(jnp.abs(params["relation_embedding"]) ** 3) / n_shards,
-                DATA_AXIS)
-            reg = tspec.regularization * (ent_l3 + rel_l3_over_d)
-            loss = loss + reg
-            logs["regularization"] = reg
-            logs["loss"] = loss
+        # global loss assembly: shared with shard_map_step.py (ops/loss.py)
+        loss, logs = loss_ops.kge_loss_global(
+            positive_score, negative_score, weight, tspec, DATA_AXIS,
+            n_shards, ent_local=ent_local,
+            rel_replicated=params["relation_embedding"],
+        )
+        logs["routed_overflow"] = jax.lax.pmax(
+            (fill > cap).astype(jnp.int32), DATA_AXIS
+        )
         return loss, logs
 
     def per_device(params, opt_state, pos, neg, weight, lr):

@@ -78,53 +78,13 @@ def _global_loss_and_logs(params_local, spec: ModelSpec, tspec: TrainSpec,
         negative_score = kge.forward(p_full, spec, (pos, neg), mode, compute_dtype)
     positive_score = kge.forward(p_full, spec, pos, scorers.SINGLE, compute_dtype)
 
-    # --- the reference loss with GLOBAL normalization (codes/model.py
-    # ≈L285-315): per-row terms computed locally, reductions psum'd.
-    if tspec.negative_adversarial_sampling:
-        adv_w = jax.lax.stop_gradient(
-            jax.nn.softmax(negative_score * tspec.adversarial_temperature, axis=1)
-        )
-        neg_term = jnp.sum(adv_w * loss_ops.log_sigmoid(-negative_score), axis=1)
-    else:
-        neg_term = jnp.mean(loss_ops.log_sigmoid(-negative_score), axis=1)
-    pos_term = loss_ops.log_sigmoid(positive_score)[:, 0]
-
-    if tspec.uni_weight:
-        denom = jnp.float32(pos.shape[0] * n_shards)
-        positive_sample_loss = -jax.lax.psum(jnp.sum(pos_term), DATA_AXIS) / denom
-        negative_sample_loss = -jax.lax.psum(jnp.sum(neg_term), DATA_AXIS) / denom
-    else:
-        wsum = jax.lax.psum(jnp.sum(weight), DATA_AXIS)
-        positive_sample_loss = (
-            -jax.lax.psum(jnp.sum(weight * pos_term), DATA_AXIS) / wsum
-        )
-        negative_sample_loss = (
-            -jax.lax.psum(jnp.sum(weight * neg_term), DATA_AXIS) / wsum
-        )
-
-    loss = (positive_sample_loss + negative_sample_loss) / 2
-    logs = {
-        "positive_sample_loss": positive_sample_loss,
-        "negative_sample_loss": negative_sample_loss,
-        "loss": loss,
-    }
-
-    if tspec.regularization != 0.0:
-        # entity rows are locally owned -> psum of per-shard sums; the
-        # replicated relation table's term is written once per device and
-        # divided by the mesh size so psum-of-grads counts it exactly once.
-        ent_l3 = jax.lax.psum(
-            jnp.sum(jnp.abs(params_local["entity_embedding"]) ** 3), DATA_AXIS
-        )
-        rel_l3_over_d = jax.lax.psum(
-            jnp.sum(jnp.abs(params_local["relation_embedding"]) ** 3) / n_shards,
-            DATA_AXIS,
-        )
-        reg = tspec.regularization * (ent_l3 + rel_l3_over_d)
-        loss = loss + reg
-        logs["regularization"] = reg
-        logs["loss"] = loss
-    return loss, logs
+    # the reference loss with GLOBAL normalization (codes/model.py
+    # ≈L285-315) — shared with the routed schedule (ops/loss.py)
+    return loss_ops.kge_loss_global(
+        positive_score, negative_score, weight, tspec, DATA_AXIS, n_shards,
+        ent_local=params_local["entity_embedding"],
+        rel_replicated=params_local["relation_embedding"],
+    )
 
 
 def make_shardmap_train_step(spec: ModelSpec, tspec: TrainSpec, mesh,

@@ -191,3 +191,9 @@ def test_bf16_mixed_precision_sharded():
     # f32-master Adam keeps the drift bounded at ~bf16 eps per step)
     _run_both("RotatE", negative_adversarial_sampling=True, precision="bf16",
               rtol=5e-2, atol=2e-3)
+
+
+def test_routed_bf16_mixed_precision():
+    _run_both("RotatE", make_fn=make_routed_train_step,
+              negative_adversarial_sampling=True, precision="bf16",
+              rtol=5e-2, atol=2e-3)
