@@ -116,7 +116,7 @@ class DeviceSampler:
     def __init__(self, triples: np.ndarray, nentity: int, nrelation: int,
                  batch_size: int, negative_sample_size: int, mode: str,
                  seed: int = 0, negative_sharing: str = "none",
-                 index_subset=None):
+                 index_subset=None, shared_state=None):
         assert mode in (HEAD_BATCH, TAIL_BATCH)
         triples = np.asarray(triples, np.int32)
         if len(triples) == 0:
@@ -150,9 +150,13 @@ class DeviceSampler:
                 f"no valid negatives exist (mode={mode})"
             )
 
-        # device-resident state
-        self.triples = jnp.asarray(triples)
-        self.weights = jnp.asarray(subsampling_weights(triples, nrelation))
+        # device-resident state; triples/weights are mode-independent and
+        # shared between the head/tail samplers (one upload, one HBM copy)
+        if shared_state is not None:
+            self.triples, self.weights = shared_state
+        else:
+            self.triples = jnp.asarray(triples)
+            self.weights = jnp.asarray(subsampling_weights(triples, nrelation))
         self.csr = _DeviceCSR(keys.astype(np.int32), vals.astype(np.int32),
                               n_keys, sentinel=nentity)
 
@@ -287,5 +291,6 @@ def build_device_iterator(train: np.ndarray, nentity: int, nrelation: int,
     tail = DeviceSampler(train, nentity, nrelation, batch_size,
                          negative_sample_size, TAIL_BATCH, seed=seed + 1,
                          negative_sharing=negative_sharing,
-                         index_subset=index_subset)
+                         index_subset=index_subset,
+                         shared_state=(head.triples, head.weights))
     return DeviceBidirectionalIterator(head, tail, depth=depth)
