@@ -151,6 +151,7 @@ def main(argv=None) -> dict:
             coordinator_address=config.coordinator_address,
             num_processes=config.num_processes,
             process_id=config.process_id,
+            require=True,  # an explicit --multihost must not degrade silently
         )
 
     from . import checkpoint as ckpt_mod
@@ -213,8 +214,17 @@ def main(argv=None) -> dict:
             "Parameter %s: %s, require_grad = True", name, tuple(val.shape)
         )
     warm_up = config.warm_up_steps if config.warm_up_steps else config.max_steps // 2
-    if config.multihost and config.num_shards == 1:
-        config.num_shards = jax.device_count()  # span the whole fleet
+    if config.multihost and jax.process_count() > 1:
+        if config.num_shards == 1:
+            config.num_shards = jax.device_count()  # span the whole fleet
+        elif config.num_shards != jax.device_count():
+            # a partial mesh would exclude some hosts' devices — those hosts
+            # would then join collectives on a mesh they are not part of
+            raise ValueError(
+                f"--num_shards {config.num_shards} != fleet device count "
+                f"{jax.device_count()}: multihost meshes must span every "
+                "process's devices"
+            )
     mesh = None
     if config.num_shards > 1:
         from .parallel import sharding as sharding_mod
@@ -300,7 +310,20 @@ def main(argv=None) -> dict:
             stream_batch = multihost.host_batch_size(config.batch_size)
             stream_seed = config.seed + 7919 * jax.process_index()
             if sampler_backend == "device":
-                sampler_backend = "auto"  # no edge partitioning on device yet
+                # the device sampler emits LOCAL device arrays; assembling
+                # them into a global batch would round-trip through the
+                # host every step — the host sampler keeps the multi-host
+                # stream zero-copy (numpy -> make_array_from_process_local)
+                sampler_backend = "auto"
+        # a [1, n] shared-negative batch is REPLICATED on the mesh: under
+        # multihost every host must draw the identical set or GSPMD's
+        # replication assumption is violated — seed that stream
+        # host-independently
+        shared_negative_seed = (
+            config.seed + 10_000_019
+            if (config.negative_sharing == "batch" and index_subset is not None)
+            else None
+        )
         it = build_train_iterator(
             ds.train, ds.nentity, ds.nrelation,
             stream_batch, config.negative_sample_size, filters,
@@ -308,6 +331,7 @@ def main(argv=None) -> dict:
             backend=sampler_backend,
             negative_sharing=config.negative_sharing,
             index_subset=index_subset,
+            shared_negative_seed=shared_negative_seed,
         )
         from .utils.profiling import trace as profiler_trace
 
@@ -323,11 +347,14 @@ def main(argv=None) -> dict:
         n_since = 0
         profile_ctx = profiler_trace(config.profile_dir)
         profile_ctx.__enter__()
+        # single-device Trainer wants device arrays (one H2D per tensor);
+        # the mesh trainers assemble the global batch themselves from HOST
+        # arrays — uploading here would force a device->host->device round
+        # trip per step (~26 ms per pull on a remote runtime)
+        cast = jnp.asarray if mesh is None else np.asarray
         for step in range(trainer.step, config.max_steps):
             pos, neg, w, mode = next(it)
-            logs = trainer.one_step(
-                (jnp.asarray(pos), jnp.asarray(neg), jnp.asarray(w), mode)
-            )
+            logs = trainer.one_step((cast(pos), cast(neg), cast(w), mode))
             if log_acc is None:
                 log_keys = sorted(logs)
                 # numpy (uncommitted) seed value: on a multihost fleet the

@@ -77,18 +77,16 @@ def _concat_bounded(arrays: list):
         arrays = nxt
     return arrays[0] if len(arrays) == 1 else _concat(*arrays)
 
-def get_device_filter(filters: FilterSets, mask_cols: int) -> "DeviceFilter":
+def get_device_filter(filters: FilterSets) -> "DeviceFilter":
     """DeviceFilter construction uploads the dense CSR arrays (~70 MB at
-    YAGO scale) — cache on the FilterSets instance so repeated evaluations
-    (every valid_steps during training) reuse the resident copy."""
-    per_width = getattr(filters, "_device_filter_cache", None)
-    if per_width is None:
-        per_width = {}
-        filters._device_filter_cache = per_width
-    got = per_width.get(mask_cols)
+    YAGO scale) — cache ONE instance per FilterSets so every evaluation
+    path (periodic valid, sharded, final test — whatever mask width each
+    needs) reuses the same resident copy; the width is a per-call argument
+    of mask_rows."""
+    got = getattr(filters, "_device_filter_cache", None)
     if got is None:
-        got = DeviceFilter(filters, mask_cols)
-        per_width[mask_cols] = got
+        got = DeviceFilter(filters)
+        filters._device_filter_cache = got
     return got
 
 
@@ -191,12 +189,11 @@ class DeviceFilter:
     FilterSets.filter_mask_rows: True = known-true corruption, the positive
     itself un-filtered (codes/dataloader.py ≈L140-148)."""
 
-    def __init__(self, filters: FilterSets, mask_cols: int):
+    def __init__(self, filters: FilterSets):
         E, R = filters.nentity, filters.nrelation
         if E * R >= 2**31:
             raise ValueError("composite key space exceeds int32")
         self.nentity, self.nrelation = E, R
-        self.mask_cols = max(mask_cols, E + 1)  # col E+.. = scatter sink
         self._modes = {}
         from .data.filterset import dense_key_arrays
 
@@ -214,12 +211,14 @@ class DeviceFilter:
                 k_max,
             )
 
-    def mask_rows(self, pos: jnp.ndarray, mode: str) -> jnp.ndarray:
+    def mask_rows(self, pos: jnp.ndarray, mode: str, width: int) -> jnp.ndarray:
+        """bool[B, max(width, E+1)]: the extra column past E is the scatter
+        sink for invalid window slots (every rank path guards ids < E)."""
         offsets, counts, values, k_max = self._modes[mode]
         return _device_mask(
             pos, offsets, counts, values,
             k_max=k_max, mode=mode, nentity=self.nentity,
-            nrelation=self.nrelation, width=self.mask_cols,
+            nrelation=self.nrelation, width=max(width, self.nentity + 1),
         )
 
 
@@ -329,7 +328,7 @@ def test_step(
         # start index is either baked as a constant (recompile per batch) or
         # shipped host->device (~26 ms latency each on a remote runtime).
         chunk_pad = _cdiv(spec.nentity, chunk) * chunk
-        dev_filter = get_device_filter(filters, mask_cols=chunk_pad)
+        dev_filter = get_device_filter(filters)
         # ranks are per-triple, so the device batch size is free to differ
         # from the user-facing --test_batch_size: floor it at 16 so the
         # reference default (4) doesn't quadruple dispatch count
@@ -347,7 +346,7 @@ def test_step(
         device_ranks: List[jnp.ndarray] = []
         for mode in modes:
             for pos_p in pos_batches:
-                mask = dev_filter.mask_rows(pos_p, mode)
+                mask = dev_filter.mask_rows(pos_p, mode, width=chunk_pad)
                 if ranker is not None:
                     device_ranks.append(ranker.ranks(pos_p, mask, mode))
                 else:
@@ -415,6 +414,13 @@ def average_precision(y_true: np.ndarray, y_score: np.ndarray) -> float:
     return float(np.sum((recall - prev_recall) * precision))
 
 
+# module-level so the compiled program is reused across every periodic
+# countries validation (a fresh jit(lambda) per call would retrace+recompile)
+@functools.partial(jax.jit, static_argnames=("spec",))
+def _countries_score(params, samples, *, spec: ModelSpec):
+    return kge.forward(params, spec, samples, scorers.SINGLE)[:, 0]
+
+
 def countries_auc_pr(
     params: kge.Params,
     spec: ModelSpec,
@@ -432,11 +438,8 @@ def countries_auc_pr(
             y_true.append(1 if reg == t else 0)
     samples = np.asarray(samples, np.int32)
     scores = []
-    score_one = jax.jit(
-        lambda p, s: kge.forward(p, spec, s, scorers.SINGLE)[:, 0]
-    )
     for i in range(0, len(samples), batch_size):
         sl = samples[i : i + batch_size]
-        scores.append(np.asarray(score_one(params, jnp.asarray(sl))))
+        scores.append(np.asarray(_countries_score(params, jnp.asarray(sl), spec=spec)))
     y_score = np.concatenate(scores)
     return average_precision(np.asarray(y_true), y_score)

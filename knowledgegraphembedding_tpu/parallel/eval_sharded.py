@@ -167,20 +167,27 @@ def sharded_test_step(
     n_real = len(test_triples)
     fns = {mode: get_sharded_ranks_fn(spec, mesh, mode) for mode in modes}
 
+    # multi-process: the device path builds committed LOCAL arrays that
+    # cannot feed a global-mesh jit; host masks (numpy, uncommitted) are
+    # placed by the jit itself on every host identically. This overrides
+    # even an explicit request — crashing mid-validation would be worse.
+    if jax.process_count() > 1:
+        if device_filter:
+            import logging
+
+            logging.warning(
+                "--eval_filter device is unsupported on multi-host fleets; "
+                "using host filter masks"
+            )
+        device_filter = False
     if device_filter is None:
         from ..data.filterset import MAX_DENSE_KEYS
 
-        # multi-process: the device path builds committed LOCAL arrays that
-        # cannot feed a global-mesh jit; host masks (numpy, uncommitted)
-        # are placed by the jit itself on every host identically
-        device_filter = (
-            jax.process_count() == 1
-            and spec.nentity * spec.nrelation <= MAX_DENSE_KEYS
-        )
+        device_filter = spec.nentity * spec.nrelation <= MAX_DENSE_KEYS
     dev_filter = None
     pos_batches = []
     if device_filter:
-        dev_filter = eval_mod.get_device_filter(filters, mask_cols=Epad)
+        dev_filter = eval_mod.get_device_filter(filters)
         n_pad = -(-n_real // test_batch_size) * test_batch_size
         trip = np.asarray(test_triples, np.int32)
         if n_pad != n_real:
@@ -196,7 +203,7 @@ def sharded_test_step(
     if dev_filter is not None:
         for mode in modes:
             for pos_p in pos_batches:
-                mask = dev_filter.mask_rows(pos_p, mode)
+                mask = dev_filter.mask_rows(pos_p, mode, width=Epad)
                 if mask.shape[1] > Epad:
                     mask = mask[:, :Epad]
                 device_ranks.append(fns[mode](params, pos_p, mask))

@@ -37,6 +37,7 @@ def initialize(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    require: bool = False,
 ) -> None:
     """Bring up the multi-host runtime. On TPU pods the three arguments are
     auto-detected from the environment; pass them explicitly for CPU/GPU
@@ -52,6 +53,12 @@ def initialize(
         try:
             jax.distributed.initialize()
         except (ValueError, RuntimeError):
+            # ``require``: the caller EXPLICITLY asked for a fleet — a
+            # silent single-host fallback would mean N independent
+            # trainings all believing they are process 0, clobbering one
+            # save_path. Only opportunistic auto-detection may degrade.
+            if require:
+                raise
             return  # single-host environment
     else:
         jax.distributed.initialize(

@@ -121,7 +121,9 @@ class DeviceSampler:
         triples = np.asarray(triples, np.int32)
         if len(triples) == 0:
             raise ValueError("empty train split — nothing to sample")
-        if int(nentity) * int(nrelation) >= 2**31:
+        if (negative_sharing != "batch"
+                and int(nentity) * int(nrelation) >= 2**31):
+            # only the rejection-filtering CSR needs int32 composite keys
             raise ValueError(
                 "device sampler pair-key space exceeds int32 "
                 f"(E*R = {nentity * nrelation}); use a host sampler backend"
@@ -140,16 +142,6 @@ class DeviceSampler:
         else:
             keys, vals, n_keys = r.astype(np.int64) * nentity + t, h, nrelation * nentity
 
-        # guard: a key whose true set covers EVERY entity has no valid
-        # negatives — the jitted rejection while_loop would never terminate
-        uniq_pairs = np.unique(keys.astype(np.int64) * nentity + vals)
-        counts = np.unique(uniq_pairs // nentity, return_counts=True)[1]
-        if counts.size and counts.max() >= nentity:
-            raise ValueError(
-                "a positive's TRAIN-true partner set covers every entity — "
-                f"no valid negatives exist (mode={mode})"
-            )
-
         # device-resident state; triples/weights are mode-independent and
         # shared between the head/tail samplers (one upload, one HBM copy)
         if shared_state is not None:
@@ -157,8 +149,22 @@ class DeviceSampler:
         else:
             self.triples = jnp.asarray(triples)
             self.weights = jnp.asarray(subsampling_weights(triples, nrelation))
-        self.csr = _DeviceCSR(keys.astype(np.int32), vals.astype(np.int32),
-                              n_keys, sentinel=nentity)
+
+        self.csr = None
+        if negative_sharing != "batch":
+            # guard: a key whose true set covers EVERY entity has no valid
+            # negatives — the jitted rejection while_loop could never
+            # terminate. (Shared-negative mode draws unfiltered, so it
+            # needs neither the guard nor the dense CSR in HBM.)
+            uniq_pairs = np.unique(keys.astype(np.int64) * nentity + vals)
+            counts = np.unique(uniq_pairs // nentity, return_counts=True)[1]
+            if counts.size and counts.max() >= nentity:
+                raise ValueError(
+                    "a positive's TRAIN-true partner set covers every entity "
+                    f"— no valid negatives exist (mode={mode})"
+                )
+            self.csr = _DeviceCSR(keys.astype(np.int32), vals.astype(np.int32),
+                                  n_keys, sentinel=nentity)
 
         self._key = jax.random.PRNGKey(seed)
         # multihost edge partitioning: the host-side epoch permutation draws

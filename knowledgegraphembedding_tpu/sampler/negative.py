@@ -77,6 +77,7 @@ class TrainSampler:
         backend: str = "auto",  # 'auto' | 'native' | 'numpy'
         negative_sharing: str = "none",  # 'none' (reference) | 'batch' (PBG-style)
         index_subset: Optional[np.ndarray] = None,
+        shared_negative_seed: Optional[int] = None,
     ):
         assert mode in (HEAD_BATCH, TAIL_BATCH)
         assert backend in ("auto", "native", "numpy")
@@ -99,6 +100,14 @@ class TrainSampler:
         self.mode = mode
         self.filters = filters
         self.rng = np.random.default_rng(seed)
+        # shared [1, n] negatives are REPLICATED on a multi-host mesh, so
+        # every host must draw the identical stream: a dedicated RNG seeded
+        # host-independently (the per-host ``seed`` keeps positives distinct)
+        self._shared_neg_rng = (
+            np.random.default_rng(shared_negative_seed)
+            if shared_negative_seed is not None
+            else self.rng
+        )
         self.weights = subsampling_weights(self.triples, nrelation)
         # multihost edge partitioning: the epoch permutation draws only this
         # host's row indices, while weights and the rejection filter stay
@@ -155,7 +164,9 @@ class TrainSampler:
             # broadcasts against [B, ...] through the scorers, so the device
             # gathers n rows instead of B*n — the throughput mode; the
             # reference's per-positive filtered sampling stays the default.
-            neg = self.rng.integers(0, self.nentity, size=(1, self.n)).astype(np.int32)
+            neg = self._shared_neg_rng.integers(
+                0, self.nentity, size=(1, self.n)
+            ).astype(np.int32)
         else:
             neg = self._sample_negatives_batch(pos)
         return pos, neg, weight, self.mode
@@ -294,6 +305,7 @@ def build_train_iterator(
     backend: str = "auto",
     negative_sharing: str = "none",
     index_subset: Optional[np.ndarray] = None,
+    shared_negative_seed: Optional[int] = None,
 ):
     """The analogue of codes/run.py §main's two-DataLoader construction.
 
@@ -315,11 +327,15 @@ def build_train_iterator(
         train, nentity, nrelation, batch_size, negative_sample_size,
         HEAD_BATCH, filters, seed=seed, backend=backend,
         negative_sharing=negative_sharing, index_subset=index_subset,
+        shared_negative_seed=shared_negative_seed,
     )
     tail = TrainSampler(
         train, nentity, nrelation, batch_size, negative_sample_size,
         TAIL_BATCH, filters, seed=seed + 1, backend=backend,
         negative_sharing=negative_sharing, index_subset=index_subset,
+        shared_negative_seed=(
+            None if shared_negative_seed is None else shared_negative_seed + 1
+        ),
     )
     it = BidirectionalIterator(head, tail)
     if prefetch_depth > 0:

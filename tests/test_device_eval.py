@@ -33,10 +33,10 @@ def _setup(model="RotatE", E=73, R=5, seed=0):
 @pytest.mark.parametrize("mode", [scorers.HEAD_BATCH, scorers.TAIL_BATCH])
 def test_device_mask_equals_host_mask(mode):
     ds, spec, filters, params = _setup()
-    dev = eval_mod.DeviceFilter(filters, mask_cols=spec.nentity + 3)
+    dev = eval_mod.DeviceFilter(filters)
     pos = np.asarray(ds.test[:16], np.int32)
     host = filters.filter_mask_rows(pos, mode)
-    got = np.asarray(dev.mask_rows(jnp.asarray(pos), mode))
+    got = np.asarray(dev.mask_rows(jnp.asarray(pos), mode, width=spec.nentity + 3))
     assert (got[:, : spec.nentity] == host).all()
     # nothing real beyond the entity columns except the scatter sink
     assert not got[:, spec.nentity:-1].any()
@@ -66,9 +66,7 @@ def test_device_eval_with_pallas_interpret_matches():
                                 device_filter=False, use_pallas=False, **kw)
 
     # monkeypatch-free: drive the ranker directly through the device mask
-    dev = eval_mod.DeviceFilter(
-        filters, mask_cols=-(-spec.nentity // 32) * 32
-    )
+    dev = eval_mod.DeviceFilter(filters)
     ranker = pallas_rank.PallasRanker(params, spec, TE=32, interpret=True)
     logs = []
     trip = np.asarray(ds.test, np.int32)
@@ -78,7 +76,7 @@ def test_device_eval_with_pallas_interpret_matches():
     for mode in (scorers.HEAD_BATCH, scorers.TAIL_BATCH):
         for i in range(0, len(trip), 8):
             pos_p = jax.lax.dynamic_slice_in_dim(pos_all, i, 8, axis=0)
-            mask = dev.mask_rows(pos_p, mode)
+            mask = dev.mask_rows(pos_p, mode, width=-(-spec.nentity // 32) * 32)
             ranks = ranker.ranks(pos_p, mask, mode)
             logs.extend(eval_mod.metrics_from_ranks(
                 np.asarray(ranks)[: min(8, len(trip) - i)]
