@@ -51,3 +51,35 @@ def test_shared_negatives_learn():
                                  test_batch_size=8, eval_chunk_size=32)
     # same bar the per-positive sampler clears in test_train_e2e
     assert metrics["HITS@10"] > 0.35, metrics
+
+
+def test_shared_negative_seed_host_consistency():
+    """Two 'hosts' (different base seeds, same shared_negative_seed) must
+    draw IDENTICAL shared negative streams — the [1, n] set is replicated
+    on a multi-host mesh and GSPMD requires replicated data to agree."""
+    import numpy as np
+    from knowledgegraphembedding_tpu.data.filterset import FilterSets
+    from knowledgegraphembedding_tpu.sampler.negative import TrainSampler, TAIL_BATCH
+
+    rng = np.random.default_rng(0)
+    train = np.unique(np.stack(
+        [rng.integers(0, 50, 300), rng.integers(0, 4, 300),
+         rng.integers(0, 50, 300)], 1), axis=0).astype(np.int32)
+    filters = FilterSets.build(train, train, 50, 4)
+
+    def make(base_seed, subset):
+        return TrainSampler(train, 50, 4, batch_size=8, negative_sample_size=6,
+                            mode=TAIL_BATCH, filters=filters, seed=base_seed,
+                            backend="numpy", negative_sharing="batch",
+                            index_subset=subset,
+                            shared_negative_seed=1234)
+
+    n = len(train)
+    h0 = make(100, np.arange(n)[0::2])
+    h1 = make(200, np.arange(n)[1::2])
+    for _ in range(5):
+        p0, n0, w0, _ = h0.next_batch()
+        p1, n1, w1, _ = h1.next_batch()
+        np.testing.assert_array_equal(n0, n1)  # identical shared negatives
+    # while the positive streams differ (different shards and seeds)
+    assert not np.array_equal(p0, p1)
