@@ -277,22 +277,41 @@ def main(argv=None) -> dict:
     if config.do_train:
         logging.info("learning_rate = %f", trainer.current_learning_rate)
         sampler_backend = config.sampler_backend
-        if sampler_backend == "auto" and config.num_shards == 1:
-            # Measured policy (BENCH_NOTES.md): configs whose device step is
-            # fast (dense MXU scoring, shared negatives) are bound by the
-            # host->device input stream — the on-device sampler lifts them to
-            # the device roofline. Gather-bound configs keep the overlapped
-            # host sampler (on-device sampling would serialize with the step).
+        if (sampler_backend == "auto" and config.num_shards == 1
+                and jax.default_backend() == "tpu"):
+            # Measured policy (BENCH_NOTES.md): the on-device sampler wins
+            # whenever the host pipeline is the bottleneck — always for the
+            # fast device steps (dense MXU scoring, shared negatives), and
+            # for gather configs whenever one host batch costs more than
+            # the ~25 ms gather-step floor (large n / big train sets on
+            # weak hosts: measured 8.0k -> 14.4k triples/s at YAGO scale).
+            # Decide by measuring one real host batch.
+            from .data.filterset import MAX_DENSE_KEYS
             from .train import use_dense_scoring
 
-            from .data.filterset import MAX_DENSE_KEYS
+            if ds.nentity * ds.nrelation <= MAX_DENSE_KEYS:
+                if (use_dense_scoring(spec, tspec)
+                        or config.negative_sharing == "batch"):
+                    sampler_backend = "device"
+                    logging.info("sampler backend: device (auto)")
+                else:
+                    from .sampler.negative import TAIL_BATCH, TrainSampler
 
-            if jax.default_backend() == "tpu" and (
-                use_dense_scoring(spec, tspec)
-                or config.negative_sharing == "batch"
-            ) and ds.nentity * ds.nrelation <= MAX_DENSE_KEYS:
-                sampler_backend = "device"
-                logging.info("sampler backend: device (auto)")
+                    probe = TrainSampler(
+                        ds.train, ds.nentity, ds.nrelation,
+                        config.batch_size, config.negative_sample_size,
+                        TAIL_BATCH, filters, seed=config.seed,
+                    )
+                    probe.next_batch()  # warm caches
+                    t0 = time.time()
+                    probe.next_batch()
+                    host_ms = (time.time() - t0) * 1e3
+                    if host_ms > 25.0:
+                        sampler_backend = "device"
+                        logging.info(
+                            "sampler backend: device (auto — host sampling "
+                            "measured %.1f ms/batch)", host_ms,
+                        )
         # multihost: each host's epoch permutation covers ITS edge-
         # partitioned shard of the train rows, at the local batch size;
         # filter sets and subsampling weights stay computed over the FULL
