@@ -17,7 +17,8 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.mark.slow
-def test_two_process_cli_end_to_end(tmp_path):
+@pytest.mark.parametrize("spmd_mode", ["shardmap", "gspmd", "routed"])
+def test_two_process_cli_end_to_end(tmp_path, spmd_mode):
     from knowledgegraphembedding_tpu.data.synthetic import make_clustered_kg
     from knowledgegraphembedding_tpu.data.vocab import save_dataset
 
@@ -41,7 +42,7 @@ def test_two_process_cli_end_to_end(tmp_path):
             "--data_path", data_dir, "--model", "RotatE", "-de",
             "-n", "8", "-b", "32", "-d", "8", "-g", "4.0", "-adv",
             "-lr", "0.01", "--max_steps", "40", "--log_steps", "20",
-            "--test_batch_size", "4", "--spmd_mode", "shardmap",
+            "--test_batch_size", "4", "--spmd_mode", spmd_mode,
             "--multihost",
             "--coordinator_address", f"127.0.0.1:{port}",
             "--num_processes", "2", "--process_id", str(pid),
