@@ -37,5 +37,17 @@ def load(name_or_path: str, countries: bool = False) -> Dataset:
     """'synthetic:<key>' -> generator; anything else -> reference TSV dir."""
     if name_or_path.startswith("synthetic:"):
         key = name_or_path.split(":", 1)[1]
-        return SYNTHETIC[key]()
+        if key not in SYNTHETIC:
+            raise ValueError(
+                f"unknown synthetic dataset {key!r}; available: "
+                f"{sorted(SYNTHETIC)}"
+            )
+        ds = SYNTHETIC[key]()
+        if countries and ds.regions is None:
+            # fail at load time, not after hours of training at eval time
+            raise ValueError(
+                f"--countries needs region ids but synthetic:{key} "
+                "produces none (use synthetic:countries)"
+            )
+        return ds
     return load_dataset(name_or_path, countries=countries)

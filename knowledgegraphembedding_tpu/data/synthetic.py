@@ -26,6 +26,12 @@ def _dedup(triples: np.ndarray) -> np.ndarray:
 
 
 def _split(triples: np.ndarray, rng: np.random.Generator, n_valid: int, n_test: int):
+    if n_valid + n_test >= len(triples):
+        raise ValueError(
+            f"n_valid + n_test = {n_valid + n_test} >= {len(triples)} "
+            "generated triples — the train split would be empty (dedup / "
+            "self-loop filtering may have shrunk the graph)"
+        )
     perm = rng.permutation(len(triples))
     triples = triples[perm]
     valid = triples[:n_valid]
@@ -52,7 +58,11 @@ def make_random_kg(
     t = rng.choice(nentity, size=ntriples * 2, p=pop)
     r = rng.integers(0, nrelation, size=ntriples * 2)
     triples = _dedup(np.stack([h, r, t], axis=1).astype(np.int32))
-    triples = triples[triples[:, 0] != triples[:, 2]][:ntriples]
+    triples = triples[triples[:, 0] != triples[:, 2]]
+    # _dedup returns rows SORTED by (h, r, t): truncating directly would
+    # keep only the smallest head ids and destroy the Zipf degree shape —
+    # permute first so the kept subset is an unbiased sample
+    triples = triples[rng.permutation(len(triples))[:ntriples]]
     train, valid, test = _split(triples, rng, n_valid, n_test)
     return Dataset(
         nentity=nentity, nrelation=nrelation,

@@ -20,7 +20,12 @@ Triple = Tuple[int, int, int]
 
 
 def read_dict(path: str) -> Dict[str, int]:
-    """Parse an ``id\\tname`` TSV into name->id (codes/run.py §main ≈L195)."""
+    """Parse an ``id\\tname`` TSV into name->id (codes/run.py §main ≈L195).
+
+    Validates that names are unique and ids form exactly 0..N-1: a
+    duplicate name or gapped id would size the embedding table below the
+    max triple id, and jnp.take's out-of-bounds mode returns NaN rows
+    SILENTLY (unlike torch.index_select, which raises)."""
     out: Dict[str, int] = {}
     with open(path) as f:
         for line in f:
@@ -28,7 +33,15 @@ def read_dict(path: str) -> Dict[str, int]:
             if not line:
                 continue
             eid, name = line.split("\t")
+            if name in out:
+                raise ValueError(f"{path}: duplicate name {name!r}")
             out[name] = int(eid)
+    ids = sorted(out.values())
+    if ids != list(range(len(ids))):
+        raise ValueError(
+            f"{path}: ids must be exactly 0..{len(ids) - 1} "
+            "(gapped or duplicate ids would silently corrupt gathers)"
+        )
     return out
 
 

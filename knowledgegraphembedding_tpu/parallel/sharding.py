@@ -258,12 +258,9 @@ class ShardedTrainer:
         """Restore from an (unsharded) checkpoint onto the mesh."""
         n = self.mesh.devices.size
         self.params = shard_params(pad_params(params, n), self.spec, self.mesh)
-        m = dict(opt_state.m)
-        v = dict(opt_state.v)
-        m["entity_embedding"] = pad_params(
-            {"entity_embedding": m["entity_embedding"]}, n)["entity_embedding"]
-        v["entity_embedding"] = pad_params(
-            {"entity_embedding": v["entity_embedding"]}, n)["entity_embedding"]
+        # Adam moments shard exactly like the params, so they pad the same
+        m = pad_params(dict(opt_state.m), n)
+        v = pad_params(dict(opt_state.v), n)
         state = optim.AdamState(count=opt_state.count, m=m, v=v)
         self.opt_state = shard_opt_state(state, self.spec, self.mesh)
         self.step = step

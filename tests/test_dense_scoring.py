@@ -83,7 +83,7 @@ def test_dense_rejected_for_nonbilinear():
 
 @pytest.mark.parametrize("model,de,dr", CASES)
 def test_dense_eval_ranks_match_chunked(model, de, dr):
-    ds = make_random_kg(nentity=60, nrelation=4, ntriples=600, seed=5)
+    ds = make_random_kg(nentity=60, nrelation=4, ntriples=600, n_valid=50, n_test=60, seed=5)
     spec, params, _, _, _ = setup(model, de, dr, E=60, R=4)
     filters = FilterSets.build(ds.train, ds.all_true_triples, 60, 4)
     for mode in ("head-batch", "tail-batch"):

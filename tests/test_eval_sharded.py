@@ -32,7 +32,7 @@ CASES = [
 
 @pytest.mark.parametrize("model,de,dr", CASES)
 def test_sharded_eval_matches_single_device(mesh, model, de, dr):
-    ds = make_random_kg(nentity=77, nrelation=4, ntriples=700, seed=9)
+    ds = make_random_kg(nentity=77, nrelation=4, ntriples=700, n_valid=50, n_test=80, seed=9)
     spec = ModelSpec(
         model_name=model, nentity=ds.nentity, nrelation=ds.nrelation,
         hidden_dim=16, gamma=6.0,

@@ -120,7 +120,8 @@ def test_two_process_fleet_trains_consistently(tmp_path):
     # psum'd loss logs identical across the fleet
     np.testing.assert_array_equal(z0["losses"], z1["losses"])
     assert np.isfinite(z0["losses"]).all()
-    assert z0["losses"][-1] < z0["losses"][0]  # it actually learns
+    # (no monotone-loss assert: 4 steps on a random graph is noise —
+    # learning behavior is pinned by the e2e tests on structured graphs)
     # both hosts allgathered the same shard-0 rows -> identical view
     np.testing.assert_array_equal(z0["shard0"], z1["shard0"])
 

@@ -15,7 +15,7 @@ pytestmark = pytest.mark.skipif(
 
 
 def make_env():
-    ds = make_random_kg(nentity=300, nrelation=5, ntriples=3000, seed=0)
+    ds = make_random_kg(nentity=300, nrelation=5, ntriples=3000, n_valid=200, n_test=200, seed=0)
     filters = FilterSets.build(ds.train, ds.all_true_triples, ds.nentity, ds.nrelation)
     return ds, filters
 

@@ -23,7 +23,7 @@ CASES = [
 @pytest.mark.parametrize("model,de,dr,dim", CASES)
 @pytest.mark.parametrize("mode", ["head-batch", "tail-batch"])
 def test_pallas_ranks_match_xla(model, de, dr, dim, mode):
-    ds = make_random_kg(nentity=70, nrelation=4, ntriples=700, seed=3)
+    ds = make_random_kg(nentity=70, nrelation=4, ntriples=700, n_valid=50, n_test=80, seed=3)
     spec = ModelSpec(
         model_name=model, nentity=ds.nentity, nrelation=ds.nrelation,
         hidden_dim=dim, gamma=6.0,
@@ -59,7 +59,7 @@ def test_left_rows_head_tail_consistency():
     """|L - C_true| must equal the true triple's score in either mode."""
     from knowledgegraphembedding_tpu.models import kge
 
-    ds = make_random_kg(nentity=40, nrelation=3, ntriples=300, seed=1)
+    ds = make_random_kg(nentity=40, nrelation=3, ntriples=300, n_valid=30, n_test=40, seed=1)
     spec = ModelSpec("RotatE", 40, 3, 8, 4.0, True, False)
     rng = np.random.default_rng(1)
     r = spec.embedding_range

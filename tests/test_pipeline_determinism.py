@@ -19,7 +19,7 @@ def collect(it, n):
 
 
 def test_prefetch_sequence_matches_unbuffered():
-    ds = make_random_kg(nentity=150, nrelation=5, ntriples=1500, seed=11)
+    ds = make_random_kg(nentity=150, nrelation=5, ntriples=1500, n_valid=100, n_test=100, seed=11)
     filters = FilterSets.build(ds.train, ds.all_true_triples, ds.nentity, ds.nrelation)
 
     def build(depth):

@@ -20,7 +20,7 @@ from knowledgegraphembedding_tpu.sampler import (
 
 
 def make_env(seed=0):
-    ds = make_random_kg(nentity=200, nrelation=6, ntriples=2000, seed=seed)
+    ds = make_random_kg(nentity=200, nrelation=6, ntriples=2000, n_valid=150, n_test=150, seed=seed)
     filters = FilterSets.build(ds.train, ds.all_true_triples, ds.nentity, ds.nrelation)
     return ds, filters
 
