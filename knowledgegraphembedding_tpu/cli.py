@@ -323,9 +323,7 @@ def main(argv=None) -> dict:
         if config.multihost and jax.process_count() > 1:
             from .parallel import multihost
 
-            index_subset = np.arange(len(ds.train))[
-                jax.process_index():: jax.process_count()
-            ]
+            index_subset = multihost.host_shard_of_indices(len(ds.train))
             stream_batch = multihost.host_batch_size(config.batch_size)
             stream_seed = config.seed + 7919 * jax.process_index()
             if sampler_backend == "device":
@@ -384,6 +382,18 @@ def main(argv=None) -> dict:
             n_since += 1
 
             if (step + 1) % config.save_checkpoint_steps == 0:
+                # never persist a routed-overflow-corrupted state: check the
+                # accumulated overflow flag BEFORE writing (one scalar pull
+                # per save; a resume from a corrupt checkpoint would be
+                # silent forever)
+                if log_acc is not None and "routed_overflow" in log_keys:
+                    acc_now = np.asarray(log_acc)
+                    if acc_now[log_keys.index("routed_overflow")] > 0:
+                        raise RuntimeError(
+                            "routed exchange bucket overflow detected before "
+                            "checkpoint save — aborting without persisting "
+                            "corrupted state; use --spmd_mode shardmap"
+                        )
                 ckpt_mod.save_model(trainer, config, config.save_path)
 
             if (step + 1) % config.log_steps == 0:
@@ -439,6 +449,9 @@ def _evaluate(trainer, spec, config, triples, ds, filters, eval_mod, mesh=None) 
     """Dispatch: countries AUC-PR vs filtered link prediction
     (codes/model.py §test_step's two branches); candidate-axis-sharded
     ranking when training on a mesh."""
+    device_filter = {"auto": None, "host": False, "device": True}[
+        config.eval_filter
+    ]
     if config.countries:
         params = trainer.host_params() if mesh is not None else trainer.params
         auc = eval_mod.countries_auc_pr(params, spec, triples, config.regions)
@@ -449,9 +462,7 @@ def _evaluate(trainer, spec, config, triples, ds, filters, eval_mod, mesh=None) 
         return eval_sharded.sharded_test_step(
             trainer.params, spec, triples, filters, mesh,
             test_batch_size=config.test_batch_size,
-            device_filter={"auto": None, "host": False, "device": True}[
-                config.eval_filter
-            ],
+            device_filter=device_filter,
         )
     return eval_mod.test_step(
         trainer.params, spec, triples, filters,
@@ -460,9 +471,7 @@ def _evaluate(trainer, spec, config, triples, ds, filters, eval_mod, mesh=None) 
         test_log_steps=config.test_log_steps,
         logger=logging.getLogger(),
         use_pallas=config.use_pallas,
-        device_filter={"auto": None, "host": False, "device": True}[
-            config.eval_filter
-        ],
+        device_filter=device_filter,
     )
 
 

@@ -165,6 +165,8 @@ def sharded_test_step(
     pull — the same zero-per-batch-traffic scheme as eval.test_step."""
     Epad = params["entity_embedding"].shape[0]
     n_real = len(test_triples)
+    if n_real == 0:
+        return {}  # empty split: nothing to rank (mirrors eval.test_step)
     fns = {mode: get_sharded_ranks_fn(spec, mesh, mode) for mode in modes}
 
     # multi-process: the device path builds committed LOCAL arrays that

@@ -68,10 +68,17 @@ def initialize(
         )
 
 
+def host_shard_of_indices(n: int) -> np.ndarray:
+    """Row indices of THIS host's edge-partition shard: k, k+P, k+2P, …
+    (round-robin keeps relation/entity marginals even). The single source
+    of the partitioning policy — the CLI and the triple-shard helper below
+    both derive from it."""
+    return np.arange(n)[jax.process_index() :: jax.process_count()]
+
+
 def host_shard_of_triples(triples: np.ndarray) -> np.ndarray:
-    """Edge-partition the training stream: host k keeps triples k, k+P,
-    k+2P, … (round-robin keeps relation/entity marginals even)."""
-    return triples[jax.process_index() :: jax.process_count()]
+    """Edge-partition the training stream (see host_shard_of_indices)."""
+    return triples[host_shard_of_indices(len(triples))]
 
 
 def host_batch_size(global_batch_size: int) -> int:

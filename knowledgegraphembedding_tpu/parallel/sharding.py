@@ -181,6 +181,20 @@ def pad_params(params: kge.Params, n_shards: int) -> kge.Params:
     return params
 
 
+# jitted replication programs cached per mesh: a fresh jit(lambda) per leaf
+# per checkpoint save would retrace+recompile the all_gather every time
+_replicate_jit_cache: dict = {}
+
+
+def _replicate_fn(mesh: Mesh):
+    key = (mesh.axis_names, tuple(d.id for d in mesh.devices.flat))
+    fn = _replicate_jit_cache.get(key)
+    if fn is None:
+        fn = jax.jit(lambda a: a, out_shardings=NamedSharding(mesh, P()))
+        _replicate_jit_cache[key] = fn
+    return fn
+
+
 def replicate_to_host(params: kge.Params) -> kge.Params:
     """Gather a (possibly sharded) param tree to host numpy (checkpointing).
 
@@ -193,10 +207,7 @@ def replicate_to_host(params: kge.Params) -> kge.Params:
     def to_host(x):
         if not isinstance(x, jax.Array) or x.is_fully_addressable:
             return np.asarray(jax.device_get(x))
-        mesh = x.sharding.mesh
-        repl = jax.jit(
-            lambda a: a, out_shardings=NamedSharding(mesh, P())
-        )(x)
+        repl = _replicate_fn(x.sharding.mesh)(x)
         return np.asarray(repl.addressable_shards[0].data)
 
     return jax.tree.map(to_host, params)
