@@ -268,6 +268,17 @@ def rank_counts(
     return counts[0]
 
 
+@functools.partial(
+    jax.jit, static_argnames=("span", "half_pad", "two_halves", "Epad")
+)
+def _prep_table(table, *, span: int, half_pad: int, two_halves: bool,
+                Epad: int):
+    t = _pad_cols(table, span, half_pad, two_halves)
+    if Epad != t.shape[0]:
+        t = jnp.pad(t, ((0, Epad - t.shape[0]), (0, 0)))
+    return t
+
+
 class PallasRanker:
     """Prepares the lane-padded table once, then ranks eval batches through
     the fused kernel. Construct per evaluation (the table changes between
@@ -289,10 +300,13 @@ class PallasRanker:
         self.half_pad = -(-span // LANE) * LANE
         self.TE = TE
         Epad = -(-table.shape[0] // TE) * TE
-        t = _pad_cols(table, span, self.half_pad, self.two_halves)
-        if Epad != t.shape[0]:
-            t = jnp.pad(t, ((0, Epad - t.shape[0]), (0, 0)))
-        self.table = t
+        # one jitted program (cached across the per-evaluation reconstructions
+        # of this ranker) instead of several eager pad ops — each eager op
+        # costs a host<->device round trip on a remote-dispatch runtime
+        self.table = _prep_table(
+            table, span=span, half_pad=self.half_pad,
+            two_halves=self.two_halves, Epad=Epad,
+        )
         self.rel = params["relation_embedding"]
         self.Epad = Epad
         self.modulus = jnp.asarray(params.get("modulus", jnp.float32(1.0)))

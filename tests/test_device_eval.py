@@ -96,3 +96,14 @@ def test_ragged_tail_batch_padding():
                                device_filter=True, test_batch_size=5, **kw)
     for k in m_host:
         assert m_host[k] == pytest.approx(m_dev[k], abs=1e-9), k
+
+
+def test_bounded_plumbing_past_group_size():
+    """_unstack_bounded/_concat_bounded at > _GROUP elements (the compiled
+    program operand bound) must round-trip exactly."""
+    n = eval_mod._GROUP * 2 + 37  # forces two-level unstack + chunked concat
+    stacked = jnp.arange(n * 3).reshape(n, 3)
+    parts = eval_mod._unstack_bounded(stacked)
+    assert len(parts) == n
+    back = np.asarray(eval_mod._concat_bounded([p[None] if p.ndim == 1 else p for p in parts]))
+    np.testing.assert_array_equal(back.reshape(n, 3), np.asarray(stacked))
