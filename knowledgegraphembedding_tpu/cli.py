@@ -360,6 +360,17 @@ def main(argv=None) -> dict:
         log_keys: list = []
         log_acc = None
         acc_fn = jax.jit(lambda acc, vals: acc + jnp.stack(vals))
+        # Routed-mode corruption window: overflow is detected in-step on the
+        # device (parallel/routed_step.py), but reading the flag syncs the
+        # pipeline (~26 ms on a remote runtime) — poll it every few steps
+        # instead of only at the log window, bounding corrupted updates to
+        # <= overflow_every steps before abort (checkpoint writes are gated
+        # separately below, so nothing corrupt ever persists).
+        overflow_every = (
+            min(config.log_steps, 25)
+            if config.spmd_mode == "routed" and config.num_shards > 1
+            else 0
+        )
         t_last = time.time()
         n_since = 0
         profile_ctx = profiler_trace(config.profile_dir)
@@ -380,6 +391,17 @@ def main(argv=None) -> dict:
                 log_acc = np.zeros(len(log_keys), np.float32)
             log_acc = acc_fn(log_acc, [logs[k] for k in log_keys])
             n_since += 1
+
+            if (
+                overflow_every
+                and (step + 1) % overflow_every == 0
+                and "routed_overflow" in log_keys
+                and float(np.asarray(log_acc)[log_keys.index("routed_overflow")]) > 0
+            ):
+                raise RuntimeError(
+                    "routed exchange bucket overflow detected — "
+                    "capacity exceeded; use --spmd_mode shardmap"
+                )
 
             if (step + 1) % config.save_checkpoint_steps == 0:
                 # never persist a routed-overflow-corrupted state: check the

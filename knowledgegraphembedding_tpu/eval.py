@@ -19,6 +19,7 @@ TPU-native redesign of the reference's ``KGEModel.test_step``
 from __future__ import annotations
 
 import functools
+import weakref
 from typing import Dict, List, Optional, Sequence
 
 import jax
@@ -88,6 +89,28 @@ def get_device_filter(filters: FilterSets) -> "DeviceFilter":
         got = DeviceFilter(filters)
         filters._device_filter_cache = got
     return got
+
+
+# PallasRanker construction pads + re-uploads the whole entity table
+# (~1 GB at YAGO d=1000 scale). test_step is called several times against
+# the SAME params (valid then test at run end; bench matrix; evaluate_train)
+# — cache the last ranker keyed on table identity so only the first call
+# per table pays the prep. A weakref keeps a stale table from being pinned
+# in HBM once training replaces it.
+_pallas_ranker_cache = None  # (weakref(table), spec, ranker)
+
+
+def get_pallas_ranker(params: kge.Params, spec: ModelSpec) -> "object":
+    from .ops import pallas_rank
+
+    global _pallas_ranker_cache
+    table = params["entity_embedding"]
+    c = _pallas_ranker_cache
+    if c is not None and c[0]() is table and c[1] == spec:
+        return c[2]
+    ranker = pallas_rank.PallasRanker(params, spec)
+    _pallas_ranker_cache = (weakref.ref(table), spec, ranker)
+    return ranker
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "mode", "chunk"))
@@ -311,7 +334,7 @@ def test_step(
     done = 0
     ranker = None
     if use_pallas and pallas_rank.supports(spec.model_name):
-        ranker = pallas_rank.PallasRanker(params, spec)
+        ranker = get_pallas_ranker(params, spec)
 
     n_real = len(test_triples)
     if n_real == 0:
@@ -333,6 +356,13 @@ def test_step(
         # from the user-facing --test_batch_size: floor it at 16 so the
         # reference default (4) doesn't quadruple dispatch count
         eff_batch = max(test_batch_size, 16)
+        if eff_batch != test_batch_size and logger is not None:
+            logger.info(
+                "device eval path: batching %d triples per dispatch "
+                "(--test_batch_size %d kept for metrics; ranks are "
+                "per-triple so results are identical)",
+                eff_batch, test_batch_size,
+            )
         n_pad = _cdiv(n_real, eff_batch) * eff_batch
         trip = np.asarray(test_triples, np.int32)
         if n_pad != n_real:
@@ -344,8 +374,12 @@ def test_step(
         )
 
         device_ranks: List[jnp.ndarray] = []
+        # same progress cadence as the host path / reference (every
+        # test_log_steps batches, codes/model.py §test_step ≈L380); counts
+        # DISPATCHED triples — the dispatches run async, so syncing per
+        # window just to report completion would serialize the pipeline
         for mode in modes:
-            for pos_p in pos_batches:
+            for bi, pos_p in enumerate(pos_batches):
                 mask = dev_filter.mask_rows(pos_p, mode, width=chunk_pad)
                 if ranker is not None:
                     device_ranks.append(ranker.ranks(pos_p, mask, mode))
@@ -353,10 +387,11 @@ def test_step(
                     device_ranks.append(ranks_batch(
                         params, pos_p, mask, spec=spec, mode=mode, chunk=chunk,
                     ))
+                done = min((bi + 1) * eff_batch, n_real) + n_real * modes.index(mode)
+                if logger is not None and (bi + 1) % test_log_steps == 0:
+                    logger.info("Evaluating the model... (%d/%d)", done, total)
             if logger is not None:
-                logger.info(
-                    "Evaluating the model... (%d/%d)", n_real * (1 + modes.index(mode)), total
-                )
+                logger.info("Evaluating the model... (%d/%d)", done, total)
         per_mode = np.asarray(
             _concat_bounded(device_ranks)  # the ONE pull
         ).reshape(len(modes), n_pad)[:, :n_real]

