@@ -42,13 +42,20 @@ def _split2(x):
     return x[..., :half], x[..., half:]
 
 
+def _acc(x):
+    """Accumulator dtype for the embedding-dim reduction: at least f32 (so
+    bf16 compute sums in f32, the TPU norm), but never a DOWNcast — f64
+    trajectory-parity runs (jax_enable_x64) must stay f64-exact."""
+    return jnp.promote_types(x.dtype, jnp.float32)
+
+
 def transe(h, r, t, gamma: float, mode: str):
     """score = gamma - || h + r - t ||_1  (codes/model.py §TransE ≈L172-180)."""
     if mode == HEAD_BATCH:
         score = h + (r - t)
     else:
         score = (h + r) - t
-    return gamma - jnp.sum(jnp.abs(score), axis=-1, dtype=jnp.float32)
+    return gamma - jnp.sum(jnp.abs(score), axis=-1, dtype=_acc(score))
 
 
 def distmult(h, r, t, mode: str):
@@ -57,7 +64,7 @@ def distmult(h, r, t, mode: str):
         score = h * (r * t)
     else:
         score = (h * r) * t
-    return jnp.sum(score, axis=-1, dtype=jnp.float32)
+    return jnp.sum(score, axis=-1, dtype=_acc(score))
 
 
 def complex_(h, r, t, mode: str):
@@ -73,7 +80,7 @@ def complex_(h, r, t, mode: str):
         re_score = re_h * re_r - im_h * im_r
         im_score = re_h * im_r + im_h * re_r
         score = re_score * re_t + im_score * im_t
-    return jnp.sum(score, axis=-1, dtype=jnp.float32)
+    return jnp.sum(score, axis=-1, dtype=_acc(score))
 
 
 def rotate(h, r, t, gamma: float, embedding_range: float, mode: str):
@@ -103,7 +110,7 @@ def rotate(h, r, t, gamma: float, embedding_range: float, mode: str):
     # identical to sqrt(sq) for any sq >= 1e-30 and sends the grad to 0 at 0.
     sq = re_score * re_score + im_score * im_score
     mag = jnp.sqrt(jnp.maximum(sq, jnp.asarray(1e-30, sq.dtype)))
-    return gamma - jnp.sum(mag, axis=-1, dtype=jnp.float32)
+    return gamma - jnp.sum(mag, axis=-1, dtype=_acc(mag))
 
 
 def protate(h, r, t, gamma: float, embedding_range: float, modulus, mode: str):
@@ -118,7 +125,7 @@ def protate(h, r, t, gamma: float, embedding_range: float, modulus, mode: str):
     else:
         score = (ph + pr) - pt
     score = jnp.abs(jnp.sin(score))
-    return gamma - jnp.sum(score, axis=-1, dtype=jnp.float32) * modulus
+    return gamma - jnp.sum(score, axis=-1, dtype=_acc(score)) * modulus
 
 
 def score_fn(

@@ -50,11 +50,16 @@ def apply_update(
     p <- p - lr * (m / (1-b1^t)) / (sqrt(v / (1-b2^t)) + eps)
     """
     count = state.count + 1
-    t = count.astype(jnp.float32)
-    bc1 = 1.0 - BETA1**t
-    bc2 = 1.0 - BETA2**t
 
     def upd(p, g, m, v):
+        # bias correction in the PARAMS dtype: f32 runs keep the existing
+        # arithmetic, while f64 runs (jax_enable_x64 trajectory-parity
+        # harnesses) stay exact — a hardcoded f32 here seeds a ~1e-6
+        # relative error (1 - 0.999 rounded in f32) into an otherwise
+        # f64-exact trajectory
+        t = count.astype(p.dtype)
+        bc1 = 1.0 - BETA1**t
+        bc2 = 1.0 - BETA2**t
         m = BETA1 * m + (1.0 - BETA1) * g
         v = BETA2 * v + (1.0 - BETA2) * (g * g)
         m_hat = m / bc1

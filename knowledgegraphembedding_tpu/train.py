@@ -130,7 +130,11 @@ class Trainer:
             pos,
             neg,
             weight,
-            jnp.float32(self.current_learning_rate),
+            # lr in the PARAMS dtype (f32 normally; f64 under jax_enable_x64
+            # parity runs — jnp.float32(0.01) carries a 2e-10 relative error
+            # that seeds measurable drift over hundreds of steps)
+            jnp.asarray(self.current_learning_rate,
+                        self.params["entity_embedding"].dtype),
             spec=self.spec,
             tspec=self.tspec,
             mode=mode,
