@@ -103,42 +103,100 @@ def make_clustered_kg(
     )
 
 
-def make_countries_like(seed: int = 0) -> Dataset:
-    """A tiny countries_S1-style dataset: entities = countries + regions;
-    one relation ``locatedin``; every country is in exactly one region
-    (region ids are the Dataset.regions list).  AUC-PR must approach 1.0
-    after brief training, exactly as upstream uses countries_S1
-    (SURVEY.md §4 item 2)."""
+def make_countries_like(seed: int = 0, level: str = "S1") -> Dataset:
+    """Countries S1/S2/S3 generator with the REAL difficulty structure
+    (reference data/countries_S{1,2,3}/; the Bouchard et al. AAAI'15 task
+    the reference evaluates with AUC-PR, codes/model.py §test_step's
+    countries branch).
+
+    World model, mirroring the real dataset's geography hierarchy:
+    regions > subregions > countries, relations ``locatedIn`` (0) and
+    ``neighborOf`` (1, symmetric, mostly intra-subregion).  Train always
+    contains locatedIn(subregion, region) and the neighbor graph; the
+    eval task is locatedIn(country, region) over the region candidates
+    (``Dataset.regions``).  Per level, progressively more EVIDENCE about
+    the held-out (valid+test) countries is withheld from train:
+
+      S1: drop locatedIn(c, region)            — infer c -> sub -> region
+      S2: + drop locatedIn(c, subregion)       — infer via neighbors' homes
+      S3: + drop locatedIn(n, region) for every neighbor n of a held-out
+           country (neighbors keep their subregion) — infer
+           c -> neighbor -> subregion -> region (three hops)
+
+    The published AUC-PR gradient (S1 1.000 / S2 1.000 / S3 ~0.95) must
+    reproduce in shape: S1/S2 saturate, S3 sits measurably lower.
+    """
+    if level not in ("S1", "S2", "S3"):
+        raise ValueError(f"level must be S1/S2/S3, got {level!r}")
     rng = np.random.default_rng(seed)
-    n_regions = 5
-    n_countries = 120
-    E = n_countries + n_regions
-    region_of = rng.integers(0, n_regions, size=n_countries)
-    regions = list(range(n_countries, E))
-    # relation 0: locatedin(country, region); relation 1: neighbor(country, country)
-    loc = np.stack(
-        [np.arange(n_countries), np.zeros(n_countries, int), n_countries + region_of],
-        axis=1,
-    )
-    # neighbors mostly within the same region (signal for generalization)
-    nbrs = []
+    n_regions, subs_per_region, countries_per_sub = 5, 4, 12
+    n_subs = n_regions * subs_per_region
+    n_countries = n_subs * countries_per_sub
+    # id layout: [countries][subregions][regions]
+    sub0, reg0 = n_countries, n_countries + n_subs
+    E = n_countries + n_subs + n_regions
+    sub_of = np.arange(n_countries) // countries_per_sub  # country -> subregion
+    region_of_sub = np.arange(n_subs) // subs_per_region  # subregion -> region
+    region_of = region_of_sub[sub_of]  # country -> region
+    regions = list(range(reg0, E))
+    LOC, NBR = 0, 1
+
+    c_ids = np.arange(n_countries)
+    loc_c_sub = np.stack([c_ids, np.full(n_countries, LOC), sub0 + sub_of], 1)
+    loc_c_reg = np.stack([c_ids, np.full(n_countries, LOC), reg0 + region_of], 1)
+    loc_sub_reg = np.stack(
+        [sub0 + np.arange(n_subs), np.full(n_subs, LOC), reg0 + region_of_sub], 1)
+
+    # symmetric neighbor graph (both directions stored, like the real
+    # neighborOf): ~2 intra-subregion + 1 intra-region partner per country,
+    # PLUS cross-region border edges — the real world's Russia/Turkey/Egypt
+    # cases. Border noise is what keeps S3 off the 1.0 ceiling: when a
+    # held-out country's region is only reachable through its neighbors'
+    # subregions (S3), cross-region neighbors cast wrong votes.
+    nbr_pairs = set()
     for c in range(n_countries):
-        same = np.where(region_of == region_of[c])[0]
-        picks = rng.choice(same, size=min(3, len(same)), replace=False)
+        same_sub = np.where(sub_of == sub_of[c])[0]
+        same_reg = np.where(region_of == region_of[c])[0]
+        other_reg = np.where(region_of != region_of[c])[0]
+        picks = list(rng.choice(same_sub, size=2, replace=False))
+        picks.append(int(rng.choice(same_reg)))
+        if rng.random() < 0.5:
+            picks.append(int(rng.choice(other_reg)))
         for p in picks:
             if p != c:
-                nbrs.append((c, 1, p))
-    nbrs = np.asarray(nbrs, int)
-    # hold out some locatedin edges as valid/test (the countries task)
+                nbr_pairs.add((min(c, int(p)), max(c, int(p))))
+    nbrs = np.asarray(
+        [(a, NBR, b) for a, b in sorted(nbr_pairs)]
+        + [(b, NBR, a) for a, b in sorted(nbr_pairs)], int)
+
+    # held-out countries (the real splits hold out 24 + 24)
     perm = rng.permutation(n_countries)
-    test_c, valid_c, train_c = perm[:15], perm[15:30], perm[30:]
-    ds = Dataset(
+    test_c, valid_c = perm[:24], perm[24:48]
+    held = np.zeros(n_countries, bool)
+    held[test_c] = held[valid_c] = True
+
+    keep_c_reg = ~held  # S1+: held-out countries lose their region edge
+    keep_c_sub = np.ones(n_countries, bool)
+    if level in ("S2", "S3"):
+        keep_c_sub = ~held  # S2+: ...and their subregion edge
+    if level == "S3":
+        # neighbors of held-out countries lose their REGION edge too (they
+        # keep subregion — the three-hop path stays available)
+        nbr_of_held = np.zeros(n_countries, bool)
+        for a, _, b in nbrs:
+            if held[a]:
+                nbr_of_held[b] = True
+        keep_c_reg &= ~nbr_of_held
+
+    train = np.concatenate([
+        loc_c_sub[keep_c_sub], loc_c_reg[keep_c_reg], loc_sub_reg, nbrs,
+    ]).astype(np.int32)
+    return Dataset(
         nentity=E,
         nrelation=2,
-        train=np.concatenate([loc[train_c], nbrs], axis=0).astype(np.int32),
-        valid=loc[valid_c].astype(np.int32),
-        test=loc[test_c].astype(np.int32),
+        train=train,
+        valid=loc_c_reg[valid_c].astype(np.int32),
+        test=loc_c_reg[test_c].astype(np.int32),
         regions=regions,
-        name="synthetic_countries",
+        name=f"synthetic_countries_{level}",
     )
-    return ds

@@ -81,12 +81,14 @@ def test_countries_flow(tmp_path):
     metrics = cli.main([
         "--do_train", "--do_test", "--countries",
         "--data_path", data_dir, "--model", "pRotatE",
-        "-n", "8", "-b", "32", "-d", "16", "-g", "0.1", "-adv",
-        "-lr", "0.01", "--max_steps", "150", "--log_steps", "50",
+        "-n", "16", "-b", "128", "-d", "16", "-g", "0.1", "-adv",
+        "-lr", "0.01", "--max_steps", "400", "--log_steps", "100",
         "-save", save_dir,
     ])
     assert "auc_pr" in metrics["test"]
-    assert metrics["test"]["auc_pr"] > 0.5  # >> chance (~0.2) after 150 steps
+    # >> chance (~0.2); the faithful S1 generator (240 countries + hierarchy)
+    # needs a few hundred steps at this tiny dim
+    assert metrics["test"]["auc_pr"] > 0.5
 
 
 def test_sharded_cli_flow(tmp_path):
