@@ -326,12 +326,6 @@ def main(argv=None) -> dict:
             index_subset = multihost.host_shard_of_indices(len(ds.train))
             stream_batch = multihost.host_batch_size(config.batch_size)
             stream_seed = config.seed + 7919 * jax.process_index()
-            if sampler_backend == "device":
-                # the device sampler emits LOCAL device arrays; assembling
-                # them into a global batch would round-trip through the
-                # host every step — the host sampler keeps the multi-host
-                # stream zero-copy (numpy -> make_array_from_process_local)
-                sampler_backend = "auto"
         # a [1, n] shared-negative batch is REPLICATED on the mesh: under
         # multihost every host must draw the identical set or GSPMD's
         # replication assumption is violated — seed that stream
@@ -341,15 +335,31 @@ def main(argv=None) -> dict:
             if (config.negative_sharing == "batch" and index_subset is not None)
             else None
         )
-        it = build_train_iterator(
-            ds.train, ds.nentity, ds.nrelation,
-            stream_batch, config.negative_sample_size, filters,
-            seed=stream_seed, prefetch_depth=config.prefetch_depth,
-            backend=sampler_backend,
-            negative_sharing=config.negative_sharing,
-            index_subset=index_subset,
-            shared_negative_seed=shared_negative_seed,
-        )
+        if sampler_backend == "device" and mesh is not None:
+            # mesh-wide SPMD sampler: each device draws its own shard of
+            # the global batch on-device; hosts ship only [B/P] index rows
+            # per step and the train step consumes the emitted GLOBAL
+            # arrays with zero host-side assembly (works single- and
+            # multi-host — the r1 host-path bypass is gone)
+            from .sampler.device_sampler import build_mesh_device_iterator
+
+            it = build_mesh_device_iterator(
+                mesh, ds.train, ds.nentity, ds.nrelation,
+                config.batch_size, config.negative_sample_size,
+                seed=config.seed, negative_sharing=config.negative_sharing,
+                depth=max(1, config.prefetch_depth // 2),
+                index_subset=index_subset,
+            )
+        else:
+            it = build_train_iterator(
+                ds.train, ds.nentity, ds.nrelation,
+                stream_batch, config.negative_sample_size, filters,
+                seed=stream_seed, prefetch_depth=config.prefetch_depth,
+                backend=sampler_backend,
+                negative_sharing=config.negative_sharing,
+                index_subset=index_subset,
+                shared_negative_seed=shared_negative_seed,
+            )
         from .utils.profiling import trace as profiler_trace
 
         # Per-step logs stay ON DEVICE, folded into one accumulator array by
@@ -378,8 +388,15 @@ def main(argv=None) -> dict:
         # single-device Trainer wants device arrays (one H2D per tensor);
         # the mesh trainers assemble the global batch themselves from HOST
         # arrays — uploading here would force a device->host->device round
-        # trip per step (~26 ms per pull on a remote runtime)
-        cast = jnp.asarray if mesh is None else np.asarray
+        # trip per step (~26 ms per pull on a remote runtime). Mesh-device-
+        # sampled batches are already global device arrays: pass through
+        # untouched (np.asarray on a non-fully-addressable array raises).
+        if mesh is None:
+            cast = jnp.asarray
+        elif sampler_backend == "device":
+            cast = lambda x: x  # noqa: E731
+        else:
+            cast = np.asarray
         for step in range(trainer.step, config.max_steps):
             pos, neg, w, mode = next(it)
             logs = trainer.one_step((cast(pos), cast(neg), cast(w), mode))

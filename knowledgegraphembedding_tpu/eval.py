@@ -78,16 +78,25 @@ def _concat_bounded(arrays: list):
         arrays = nxt
     return arrays[0] if len(arrays) == 1 else _concat(*arrays)
 
-def get_device_filter(filters: FilterSets) -> "DeviceFilter":
+def get_device_filter(filters: FilterSets, mesh=None) -> "DeviceFilter":
     """DeviceFilter construction uploads the dense CSR arrays (~70 MB at
-    YAGO scale) — cache ONE instance per FilterSets so every evaluation
-    path (periodic valid, sharded, final test — whatever mask width each
-    needs) reuses the same resident copy; the width is a per-call argument
-    of mask_rows."""
-    got = getattr(filters, "_device_filter_cache", None)
+    YAGO scale) — cache ONE instance per (FilterSets, mesh) so every
+    evaluation path (periodic valid, sharded, final test — whatever mask
+    width each needs) reuses the same resident copy; the width is a
+    per-call argument of mask_rows. Pass ``mesh`` on multi-host fleets so
+    the CSR is placed as GLOBAL replicated arrays every host's jit can
+    consume (committed single-host arrays cannot join a global-mesh
+    program)."""
+    cache = getattr(filters, "_device_filter_cache", None)
+    if cache is None:
+        cache = filters._device_filter_cache = {}
+    key = (
+        None if mesh is None
+        else (mesh.axis_names, tuple(d.id for d in mesh.devices.flat))
+    )
+    got = cache.get(key)
     if got is None:
-        got = DeviceFilter(filters)
-        filters._device_filter_cache = got
+        got = cache[key] = DeviceFilter(filters, mesh=mesh)
     return got
 
 
@@ -212,13 +221,20 @@ class DeviceFilter:
     FilterSets.filter_mask_rows: True = known-true corruption, the positive
     itself un-filtered (codes/dataloader.py ≈L140-148)."""
 
-    def __init__(self, filters: FilterSets):
+    def __init__(self, filters: FilterSets, mesh=None):
         E, R = filters.nentity, filters.nrelation
         if E * R >= 2**31:
             raise ValueError("composite key space exceeds int32")
         self.nentity, self.nrelation = E, R
         self._modes = {}
         from .data.filterset import dense_key_arrays
+
+        if mesh is None:
+            place = jnp.asarray
+        else:
+            from .sampler.device_sampler import _place_replicated
+
+            place = lambda x: _place_replicated(x, mesh)  # noqa: E731
 
         for mode, idx, n_keys in (
             (scorers.HEAD_BATCH, filters.all_true_head, R * E),
@@ -228,9 +244,9 @@ class DeviceFilter:
                 idx, n_keys, pad_value=0
             )
             self._modes[mode] = (
-                jnp.asarray(offsets),
-                jnp.asarray(counts),
-                jnp.asarray(values),
+                place(offsets),
+                place(counts),
+                place(values),
                 k_max,
             )
 

@@ -169,36 +169,36 @@ def sharded_test_step(
         return {}  # empty split: nothing to rank (mirrors eval.test_step)
     fns = {mode: get_sharded_ranks_fn(spec, mesh, mode) for mode in modes}
 
-    # multi-process: the device path builds committed LOCAL arrays that
-    # cannot feed a global-mesh jit; host masks (numpy, uncommitted) are
-    # placed by the jit itself on every host identically. This overrides
-    # even an explicit request — crashing mid-validation would be worse.
-    if jax.process_count() > 1:
-        if device_filter:
-            import logging
-
-            logging.warning(
-                "--eval_filter device is unsupported on multi-host fleets; "
-                "using host filter masks"
-            )
-        device_filter = False
     if device_filter is None:
         from ..data.filterset import MAX_DENSE_KEYS
 
         device_filter = spec.nentity * spec.nrelation <= MAX_DENSE_KEYS
+    multi = jax.process_count() > 1
     dev_filter = None
     pos_batches = []
     if device_filter:
-        dev_filter = eval_mod.get_device_filter(filters)
+        # multi-process fleets: the CSR + test triples are placed as GLOBAL
+        # replicated arrays (every host holds identical copies of both), so
+        # the on-device mask build and the sharded rank program compose
+        # into the same zero-per-batch-host-traffic pipeline as single-host
+        # (the r1 host-mask fallback is gone)
+        dev_filter = eval_mod.get_device_filter(
+            filters, mesh=mesh if multi else None
+        )
         n_pad = -(-n_real // test_batch_size) * test_batch_size
         trip = np.asarray(test_triples, np.int32)
         if n_pad != n_real:
             trip = np.concatenate(
                 [trip, np.repeat(trip[-1:], n_pad - n_real, axis=0)]
             )
-        pos_batches = eval_mod._unstack_bounded(
-            jnp.asarray(trip).reshape(-1, test_batch_size, 3)
-        )
+        stacked = trip.reshape(-1, test_batch_size, 3)
+        if multi:
+            from ..sampler.device_sampler import _place_replicated
+
+            stacked = _place_replicated(stacked, mesh)
+        else:
+            stacked = jnp.asarray(stacked)
+        pos_batches = eval_mod._unstack_bounded(stacked)
 
     logs = []
     device_ranks = []

@@ -280,15 +280,22 @@ class ShardedTrainer:
 
     def one_step(self, batch):
         """batch holds THIS HOST's rows (the full batch single-process; the
-        local shard of the global batch on a multi-host fleet)."""
+        local shard of the global batch on a multi-host fleet) — OR, from
+        the mesh device sampler, already-global device arrays, consumed
+        as-is with zero host-side assembly."""
         from . import multihost
 
         pos, neg, weight, mode = batch
         step_idx = self.step
-        pos_d, neg_d, w_d = multihost.global_batch(
-            self.mesh, np.asarray(pos), np.asarray(neg),
-            np.asarray(weight, np.float32),
-        )
+        if isinstance(pos, jax.Array):
+            # device-sampled global batch (sampler/device_sampler.py
+            # §MeshDeviceSampler): already laid out per batch_specs
+            pos_d, neg_d, w_d = pos, neg, weight
+        else:
+            pos_d, neg_d, w_d = multihost.global_batch(
+                self.mesh, np.asarray(pos), np.asarray(neg),
+                np.asarray(weight, np.float32),
+            )
         self.params, self.opt_state, logs = self._fns[mode](
             self.params, self.opt_state, pos_d, neg_d, w_d,
             jnp.float32(self.current_learning_rate),

@@ -53,6 +53,95 @@ from ..data.filterset import subsampling_weights
 from .negative import HEAD_BATCH, TAIL_BATCH
 
 
+def _like_vma(x, ref):
+    """Match x's varying-manual-axes type to ref's (no-op outside shard_map
+    or when ref is unvarying): loop carries created fresh inside a
+    check_vma=True shard_map body must be cast varying before they can meet
+    varying per-iteration values."""
+    axes = getattr(jax.typeof(ref), "vma", None)
+    if not axes:
+        return x
+    return jax.lax.pcast(x, tuple(axes), to="varying")
+
+
+def csr_member(offsets: jnp.ndarray, counts: jnp.ndarray, values: jnp.ndarray,
+               k_max: int, keys: jnp.ndarray, cand: jnp.ndarray) -> jnp.ndarray:
+    """bool[B, m]: cand[b, j] in the true-value set of keys[b].
+
+    One contiguous Kmax-window read per row + a chunked VPU
+    broadcast-compare (never materializes more than [B, m, CHUNK]).
+    Pure function so the single-device sampler and the shard_map body of
+    the mesh sampler share one implementation."""
+    B, m = cand.shape
+    starts = jnp.take(offsets, keys)  # [B]
+    cnts = jnp.take(counts, keys)  # [B]
+    windows = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(values, (s,), (k_max,))
+    )(starts)  # [B, Kmax] — contiguous reads
+    CHUNK = 16
+    n_chunks = -(-k_max // CHUNK)
+    pad = n_chunks * CHUNK - k_max
+    if pad:
+        windows = jnp.pad(windows, ((0, 0), (0, pad)), constant_values=-1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+
+    def body(i, acc):
+        wc = jax.lax.dynamic_slice(windows, (0, i * CHUNK), (B, CHUNK))
+        # window positions past this key's count belong to the NEXT
+        # key's values — mask them out or negatives get over-rejected
+        valid = (i * CHUNK + col) < cnts[:, None]  # [B, CHUNK]
+        hit = jnp.any(
+            (cand[:, :, None] == wc[:, None, :]) & valid[:, None, :],
+            axis=-1,
+        )
+        return acc | hit
+
+    return jax.lax.fori_loop(
+        0, n_chunks, body, _like_vma(jnp.zeros((B, m), bool), cand)
+    )
+
+
+def rejection_negatives(rng: jax.Array, qk: jnp.ndarray, member_fn, n: int,
+                        nentity: int) -> jnp.ndarray:
+    """i32[B, n] uniform negatives with TRAIN-true partners of qk rejected.
+
+    TOP-UP accumulation (same contract as the host sampler's
+    concatenate-until-full loop): merge each round's valid draws AFTER the
+    valid draws already collected, valid-first, keep the first n. A
+    replace-instead-of-merge variant would require one single round to
+    produce >= n valid draws — and loop forever on rows whose true-set
+    covers most entities (dense tiny graphs)."""
+    B = qk.shape[0]
+
+    def draw_round(state):
+        rng, neg, n_valid = state
+        rng, sub = jax.random.split(rng)
+        cand = jax.random.randint(sub, (B, 2 * n), 0, nentity,
+                                  dtype=jnp.int32)
+        collided = member_fn(qk, cand)
+        fresh_valid = jnp.sum(~collided, axis=1).astype(jnp.int32)
+        merged = jnp.concatenate([neg, cand], axis=1)  # [B, 3n]
+        kept_col = jax.lax.broadcasted_iota(jnp.int32, (B, n), 1)
+        valid = jnp.concatenate(
+            [kept_col < n_valid[:, None], ~collided], axis=1
+        )
+        order = jnp.argsort(~valid, axis=1, stable=True)
+        neg = jnp.take_along_axis(merged, order[:, :n], axis=1)
+        n_valid = jnp.minimum(n_valid + fresh_valid, n)
+        return rng, neg, n_valid
+
+    state = (
+        rng,
+        _like_vma(jnp.zeros((B, n), jnp.int32), rng),
+        _like_vma(jnp.zeros((B,), jnp.int32), rng),
+    )
+    state = draw_round(state)  # first round (almost always sufficient)
+    state = jax.lax.while_loop(
+        lambda s: jnp.any(s[2] < n), draw_round, state
+    )
+    return state[1]
+
+
 class _DeviceCSR:
     """Device-resident CSR over a dense composite-key space: for key k the
     true values are ``values[offsets[k] : offsets[k] + counts[k]]``."""
@@ -70,38 +159,8 @@ class _DeviceCSR:
         self.counts = jnp.asarray(counts)
 
     def member(self, keys: jnp.ndarray, cand: jnp.ndarray) -> jnp.ndarray:
-        """bool[B, m]: cand[b, j] in the true-value set of keys[b].
-
-        One contiguous Kmax-window read per row + a chunked VPU
-        broadcast-compare (never materializes more than [B, m, CHUNK])."""
-        B, m = cand.shape
-        starts = jnp.take(self.offsets, keys)  # [B]
-        cnts = jnp.take(self.counts, keys)  # [B]
-        windows = jax.vmap(
-            lambda s: jax.lax.dynamic_slice(self.values, (s,), (self.k_max,))
-        )(starts)  # [B, Kmax] — contiguous reads
-        CHUNK = 16
-        n_chunks = -(-self.k_max // CHUNK)
-        pad = n_chunks * CHUNK - self.k_max
-        if pad:
-            windows = jnp.pad(windows, ((0, 0), (0, pad)),
-                              constant_values=-1)
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-
-        def body(i, acc):
-            wc = jax.lax.dynamic_slice(windows, (0, i * CHUNK), (B, CHUNK))
-            # window positions past this key's count belong to the NEXT
-            # key's values — mask them out or negatives get over-rejected
-            valid = (i * CHUNK + col) < cnts[:, None]  # [B, CHUNK]
-            hit = jnp.any(
-                (cand[:, :, None] == wc[:, None, :]) & valid[:, None, :],
-                axis=-1,
-            )
-            return acc | hit
-
-        return jax.lax.fori_loop(
-            0, n_chunks, body, jnp.zeros((B, m), bool)
-        )
+        return csr_member(self.offsets, self.counts, self.values, self.k_max,
+                          keys, cand)
 
 
 class DeviceSampler:
@@ -207,45 +266,13 @@ class DeviceSampler:
             )
             return pos, neg, weight
 
-        B, n = idx.shape[0], self.n
         if self.mode == TAIL_BATCH:
             qk = pos[:, 0] * self.nrelation + pos[:, 1]
         else:
             qk = pos[:, 1] * self.nentity + pos[:, 2]
-
-        def draw_round(state):
-            rng, neg, n_valid = state
-            rng, sub = jax.random.split(rng)
-            cand = jax.random.randint(sub, (B, 2 * n), 0, self.nentity,
-                                      dtype=jnp.int32)
-            collided = self.csr.member(qk, cand)
-            # TOP-UP accumulation (same contract as the host sampler's
-            # concatenate-until-full loop): merge this round's valid draws
-            # AFTER the valid draws already collected, valid-first, keep the
-            # first n. A replace-instead-of-merge variant would require one
-            # single round to produce >= n valid draws — and loop forever on
-            # rows whose true-set covers most entities (dense tiny graphs).
-            fresh_valid = jnp.sum(~collided, axis=1).astype(jnp.int32)
-            merged = jnp.concatenate([neg, cand], axis=1)  # [B, 3n]
-            kept_col = jax.lax.broadcasted_iota(jnp.int32, (B, n), 1)
-            valid = jnp.concatenate(
-                [kept_col < n_valid[:, None], ~collided], axis=1
-            )
-            order = jnp.argsort(~valid, axis=1, stable=True)
-            neg = jnp.take_along_axis(merged, order[:, :n], axis=1)
-            n_valid = jnp.minimum(n_valid + fresh_valid, n)
-            return rng, neg, n_valid
-
-        state = (
-            rng,
-            jnp.zeros((B, n), jnp.int32),
-            jnp.zeros((B,), jnp.int32),
-        )
-        state = draw_round(state)  # first round (almost always sufficient)
-        state = jax.lax.while_loop(
-            lambda s: jnp.any(s[2] < n), draw_round, state
-        )
-        return pos, state[1], weight
+        neg = rejection_negatives(rng, qk, self.csr.member, self.n,
+                                  self.nentity)
+        return pos, neg, weight
 
     def next_batch(self):
         self._key, sub = jax.random.split(self._key)
@@ -299,4 +326,229 @@ def build_device_iterator(train: np.ndarray, nentity: int, nrelation: int,
                          negative_sharing=negative_sharing,
                          index_subset=index_subset,
                          shared_state=(head.triples, head.weights))
+    return DeviceBidirectionalIterator(head, tail, depth=depth)
+
+
+# ---------------------------------------------------------------------------
+# Mesh-wide SPMD device sampler (single- AND multi-host)
+# ---------------------------------------------------------------------------
+
+def _place_replicated(x, mesh):
+    """Host array -> globally-replicated mesh array. Multi-process: every
+    host holds the identical full copy (same train file), so each
+    contributes it via make_array_from_process_local_data."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P())
+    if jax.process_count() == 1:
+        return jax.device_put(x, sh)
+    return jax.make_array_from_process_local_data(sh, np.asarray(x))
+
+
+class MeshDeviceSampler:
+    """SPMD device sampler over a jax.sharding.Mesh — the design goal the
+    single-device sampler's docstring states, realized: EACH DEVICE samples
+    its own shard of the global batch, on-device, inside one jitted
+    shard_map program. Hosts ship only their [B/P] epoch-permutation index
+    rows (plus a step scalar) per step; the emitted pos/neg/weight are
+    GLOBAL arrays already laid out with the trainer's batch shardings
+    (sharding.batch_specs), so the train step consumes them with ZERO
+    host-side assembly — on a multi-host fleet no host ever touches batch
+    payload at all.
+
+    Semantics match the host/multihost sampler stack (negative.py + the
+    CLI's edge partitioning): per-host epoch permutation over its
+    round-robin shard of the train rows, full-train subsampling weights and
+    TRAIN-true rejection filtering, iid uniform negatives per device
+    (per-device RNG streams via fold_in(axis_index)). Shared-negative mode
+    draws ONE [1, n] set from the un-folded key — identical on every
+    device/host, satisfying its replicated sharding by construction.
+    """
+
+    def __init__(self, triples: np.ndarray, nentity: int, nrelation: int,
+                 batch_size: int, negative_sample_size: int, mode: str,
+                 mesh, seed: int = 0, negative_sharing: str = "none",
+                 index_subset=None, shared_state=None):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        assert mode in (HEAD_BATCH, TAIL_BATCH)
+        triples = np.asarray(triples, np.int32)
+        if len(triples) == 0:
+            raise ValueError("empty train split — nothing to sample")
+        n_proc = jax.process_count()
+        if batch_size % mesh.devices.size != 0:
+            raise ValueError(
+                f"global batch {batch_size} not divisible by the "
+                f"{mesh.devices.size}-device mesh"
+            )
+        if batch_size % n_proc != 0:
+            raise ValueError(
+                f"global batch {batch_size} not divisible by {n_proc} hosts"
+            )
+        if (negative_sharing != "batch"
+                and int(nentity) * int(nrelation) >= 2**31):
+            raise ValueError(
+                "device sampler pair-key space exceeds int32 "
+                f"(E*R = {nentity * nrelation}); use a host sampler backend"
+            )
+        self.mode = mode
+        self.mesh = mesh
+        self.nentity = nentity
+        self.nrelation = nrelation
+        self.batch_size = batch_size
+        self.n = negative_sample_size
+        self.negative_sharing = negative_sharing
+        self._local_b = batch_size // n_proc
+        self._idx_sharding = NamedSharding(mesh, P("data"))
+
+        if shared_state is not None:
+            state = dict(shared_state)
+        else:
+            state = {
+                "triples": _place_replicated(triples, mesh),
+                "weights": _place_replicated(
+                    np.asarray(subsampling_weights(triples, nrelation),
+                               np.float32), mesh),
+            }
+        self._mode_state = {}
+        k_max = 0
+        if negative_sharing != "batch":
+            h, r, t = triples[:, 0], triples[:, 1], triples[:, 2]
+            if mode == TAIL_BATCH:
+                keys, vals, n_keys = (
+                    h.astype(np.int64) * nrelation + r, t, nentity * nrelation)
+            else:
+                keys, vals, n_keys = (
+                    r.astype(np.int64) * nentity + t, h, nrelation * nentity)
+            uniq_pairs = np.unique(keys.astype(np.int64) * nentity + vals)
+            counts = np.unique(uniq_pairs // nentity, return_counts=True)[1]
+            if counts.size and counts.max() >= nentity:
+                raise ValueError(
+                    "a positive's TRAIN-true partner set covers every entity "
+                    f"— no valid negatives exist (mode={mode})"
+                )
+            from ..data.filterset import TrueIndex, dense_key_arrays
+
+            idx = TrueIndex.build(keys.astype(np.int64), vals)
+            offsets, counts_arr, values, k_max = dense_key_arrays(
+                idx, n_keys, pad_value=nentity
+            )
+            self._mode_state = {
+                "offsets": _place_replicated(offsets, mesh),
+                "counts": _place_replicated(counts_arr, mesh),
+                "values": _place_replicated(values, mesh),
+            }
+        self._state = {**state, **self._mode_state}
+        self._shareable_state = state  # triples/weights: mode-independent
+
+        # host side: per-host epoch permutation over its edge-partition
+        # shard; the DEVICE-draw seed stays host-independent (every device
+        # folds its own mesh position into the same base key)
+        self._index_pool = (
+            np.asarray(index_subset, np.int64)
+            if index_subset is not None
+            else np.arange(len(triples), dtype=np.int64)
+        )
+        if len(self._index_pool) == 0:
+            raise ValueError("empty train-stream shard — nothing to sample")
+        self._order = np.empty(0, np.int64)
+        self._rng = np.random.default_rng(seed + 7919 * jax.process_index())
+        self._step = 0
+
+        self._sample = jax.jit(
+            functools.partial(
+                _mesh_sample, mesh=mesh, mode=mode, nentity=nentity,
+                nrelation=nrelation, n=self.n,
+                negative_sharing=negative_sharing, k_max=int(k_max),
+                seed=seed,
+            ),
+            static_argnums=(),
+            in_shardings=(
+                jax.tree.map(lambda _: NamedSharding(mesh, P()), self._state),
+                NamedSharding(mesh, P()),
+                self._idx_sharding,
+            ),
+        )
+
+    def _next_indices(self) -> np.ndarray:
+        while self._order.size < self._local_b:
+            self._order = np.concatenate(
+                [self._order, self._rng.permutation(self._index_pool)]
+            )
+        idx, self._order = (
+            self._order[: self._local_b],
+            self._order[self._local_b:],
+        )
+        return idx.astype(np.int32)
+
+    def next_batch(self):
+        local_idx = self._next_indices()
+        if jax.process_count() == 1:
+            idx = jax.device_put(local_idx, self._idx_sharding)
+        else:
+            idx = jax.make_array_from_process_local_data(
+                self._idx_sharding, local_idx
+            )
+        self._step += 1
+        pos, neg, weight = self._sample(
+            self._state, np.int32(self._step), idx
+        )
+        return pos, neg, weight, self.mode
+
+
+def _mesh_sample(state, step, idx, *, mesh, mode, nentity, nrelation, n,
+                 negative_sharing, k_max, seed):
+    """One SPMD sampling step: shard_map over the mesh, per-device draws.
+    Jitted by MeshDeviceSampler.__init__ (one compiled program per sampler;
+    the keyword configuration is baked via functools.partial)."""
+    from jax.sharding import PartitionSpec as P
+
+    def per_device(state, step, idx_local):
+        pos = jnp.take(state["triples"], idx_local, axis=0)  # [Bl, 3]
+        weight = jnp.take(state["weights"], idx_local)  # [Bl]
+        base = jax.random.fold_in(jax.random.PRNGKey(seed), step)
+        if negative_sharing == "batch":
+            # un-folded key: the identical [1, n] set on every device — the
+            # replicated out_spec is satisfied by construction
+            neg = jax.random.randint(base, (1, n), 0, nentity,
+                                     dtype=jnp.int32)
+            return pos, neg, weight
+        dev_key = jax.random.fold_in(base, jax.lax.axis_index("data"))
+        if mode == TAIL_BATCH:
+            qk = pos[:, 0] * nrelation + pos[:, 1]
+        else:
+            qk = pos[:, 1] * nentity + pos[:, 2]
+        member = functools.partial(
+            csr_member, state["offsets"], state["counts"], state["values"],
+            k_max,
+        )
+        neg = rejection_negatives(dev_key, qk, member, n, nentity)
+        return pos, neg, weight
+
+    neg_spec = P(None, None) if negative_sharing == "batch" else P("data", None)
+    return jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P(), state), P(), P("data")),
+        out_specs=(P("data", None), neg_spec, P("data")),
+        check_vma=True,
+    )(state, step, idx)
+
+
+def build_mesh_device_iterator(mesh, train: np.ndarray, nentity: int,
+                               nrelation: int, batch_size: int,
+                               negative_sample_size: int, seed: int = 0,
+                               negative_sharing: str = "none", depth: int = 2,
+                               index_subset=None):
+    """Tail-first alternating mesh sampler pair (same contract as
+    build_device_iterator, emitting mesh-global batches)."""
+    head = MeshDeviceSampler(train, nentity, nrelation, batch_size,
+                             negative_sample_size, HEAD_BATCH, mesh,
+                             seed=seed, negative_sharing=negative_sharing,
+                             index_subset=index_subset)
+    tail = MeshDeviceSampler(train, nentity, nrelation, batch_size,
+                             negative_sample_size, TAIL_BATCH, mesh,
+                             seed=seed + 1, negative_sharing=negative_sharing,
+                             index_subset=index_subset,
+                             shared_state=head._shareable_state)
     return DeviceBidirectionalIterator(head, tail, depth=depth)
