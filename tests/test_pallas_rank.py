@@ -108,3 +108,46 @@ def test_get_pallas_ranker_cached_on_table_identity():
     # and going back to a still-live old table also misses (size-1 cache)
     d = eval_mod.get_pallas_ranker(p1, spec)
     assert d is not c
+
+
+def test_scanned_pallas_driver_matches_per_batch():
+    """The whole-mode scan driver (eval._eval_scan_pallas: mask build + rank
+    fused in one lax.scan dispatch) must reproduce the per-batch path
+    exactly (interpret mode on CPU)."""
+    from knowledgegraphembedding_tpu.data.synthetic import make_random_kg
+
+    ds = make_random_kg(nentity=70, nrelation=4, ntriples=700, n_valid=50,
+                        n_test=64, seed=3)
+    spec = ModelSpec(
+        model_name="RotatE", nentity=ds.nentity, nrelation=ds.nrelation,
+        hidden_dim=16, gamma=6.0, double_entity_embedding=True,
+    )
+    rng = np.random.default_rng(0)
+    r = spec.embedding_range
+    params = {
+        "entity_embedding": jnp.asarray(
+            rng.uniform(-r, r, (ds.nentity, spec.entity_dim)).astype(np.float32)),
+        "relation_embedding": jnp.asarray(
+            rng.uniform(-r, r, (ds.nrelation, spec.relation_dim)).astype(np.float32)),
+    }
+    filters = FilterSets.build(ds.train, ds.all_true_triples, ds.nentity, ds.nrelation)
+    ranker = pallas_rank.PallasRanker(params, spec, TE=128, interpret=True)
+    dev_filter = eval_mod.get_device_filter(filters)
+    B = 16
+    stack = jnp.asarray(ds.test.astype(np.int32)).reshape(-1, B, 3)
+    chunk_pad = -(-spec.nentity // 16) * 16
+    width = max(chunk_pad, spec.nentity + 1)
+    for mode in ("head-batch", "tail-batch"):
+        offsets, counts, values, k_max = dev_filter._modes[mode]
+        scanned = np.asarray(eval_mod._eval_scan_pallas(
+            ranker.table, ranker.rel, ranker.modulus, offsets, counts,
+            values, stack, spec=spec, mode=mode, k_max=k_max, width=width,
+            TE=ranker.TE, half_pad=ranker.half_pad, span=ranker.span,
+            two_halves=ranker.two_halves, Epad=ranker.Epad,
+            interpret=True,
+        )).reshape(-1)
+        per_batch = []
+        for i in range(stack.shape[0]):
+            mask = dev_filter.mask_rows(stack[i], mode, width=chunk_pad)
+            per_batch.append(np.asarray(ranker.ranks(stack[i], mask, mode)))
+        np.testing.assert_array_equal(scanned, np.concatenate(per_batch))
