@@ -448,7 +448,10 @@ def test_step(
         for mode in modes:
             offsets, counts, values, k_max = dev_filter._modes[mode]
             for s in range(0, nb, test_log_steps):
-                sub = trip_stack[s: s + test_log_steps]
+                # slicing is itself a device op — skip it when one window
+                # covers the whole stack (the common default)
+                sub = (trip_stack if test_log_steps >= nb
+                       else trip_stack[s: s + test_log_steps])
                 if ranker is not None:
                     r = _eval_scan_pallas(
                         ranker.table, ranker.rel, ranker.modulus,

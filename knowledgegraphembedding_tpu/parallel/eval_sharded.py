@@ -95,12 +95,10 @@ def get_sharded_ranks_fn(spec: ModelSpec, mesh, mode: str):
     return fn
 
 
-def make_sharded_ranks_fn(spec: ModelSpec, mesh, mode: str):
-    """jit-compiled SPMD rank function over a row-sharded (padded) table.
-
-    (params row-sharded as in sharding.param_specs; pos/mask replicated —
-    eval batches are tiny. Returns exact global ranks.)
-    """
+def _ranks_body(spec: ModelSpec, mesh, mode: str):
+    """The raw (unjitted) SPMD rank computation for one batch — shared by
+    the per-batch jit (make_sharded_ranks_fn) and the whole-mode scan
+    driver (make_sharded_scan_fn)."""
 
     def ranks(params, pos, filter_mask):
         left, true_score, true_ids = _left_and_true(params, spec, pos, mode)
@@ -134,16 +132,66 @@ def make_sharded_ranks_fn(spec: ModelSpec, mesh, mode: str):
         )(params["entity_embedding"], left, true_score, true_ids, filter_mask)
         return counts + 1
 
+    return ranks
+
+
+def _param_shardings(spec: ModelSpec, mesh):
     table_sh = NamedSharding(mesh, P(DATA_AXIS, None))
     repl = NamedSharding(mesh, P())
     param_sh = {"entity_embedding": table_sh, "relation_embedding": repl}
     if spec.has_modulus:
         param_sh["modulus"] = repl
+    return param_sh, repl
+
+
+def make_sharded_ranks_fn(spec: ModelSpec, mesh, mode: str):
+    """jit-compiled SPMD rank function over a row-sharded (padded) table.
+
+    (params row-sharded as in sharding.param_specs; pos/mask replicated —
+    eval batches are tiny. Returns exact global ranks.)
+    """
+    param_sh, repl = _param_shardings(spec, mesh)
     return jax.jit(
-        ranks,
+        _ranks_body(spec, mesh, mode),
         in_shardings=(param_sh, repl, repl),
         out_shardings=repl,
     )
+
+
+def get_sharded_scan_fn(spec: ModelSpec, mesh, mode: str, k_max: int,
+                        width: int, Epad: int):
+    """Whole-mode scanned evaluator: mask build (eval._device_mask) + SPMD
+    ranks for EVERY batch fused into one lax.scan dispatch — the fleet
+    analogue of eval._eval_scan_* (per-batch dispatch latency dominated
+    the call rate on a remote-dispatch runtime; see BENCH_NOTES.md)."""
+    key = (spec, mode, mesh.axis_names,
+           tuple(d.id for d in mesh.devices.flat), k_max, width, Epad, "scan")
+    fn = _ranks_fn_cache.get(key)
+    if fn is not None:
+        return fn
+    ranks = _ranks_body(spec, mesh, mode)
+
+    def scan_ranks(params, offsets, counts, values, pos_stack):
+        def body(_, pos):
+            mask = eval_mod._device_mask(
+                pos, offsets, counts, values, k_max=k_max, mode=mode,
+                nentity=spec.nentity, nrelation=spec.nrelation, width=width,
+            )
+            if mask.shape[1] > Epad:
+                mask = mask[:, :Epad]
+            elif mask.shape[1] < Epad:
+                mask = jnp.pad(mask, ((0, 0), (0, Epad - mask.shape[1])))
+            return None, ranks(params, pos, mask)
+        return jax.lax.scan(body, None, pos_stack)[1]
+
+    param_sh, repl = _param_shardings(spec, mesh)
+    fn = jax.jit(
+        scan_ranks,
+        in_shardings=(param_sh, repl, repl, repl, repl),
+        out_shardings=repl,
+    )
+    _ranks_fn_cache[key] = fn
+    return fn
 
 
 def sharded_test_step(
@@ -167,7 +215,6 @@ def sharded_test_step(
     n_real = len(test_triples)
     if n_real == 0:
         return {}  # empty split: nothing to rank (mirrors eval.test_step)
-    fns = {mode: get_sharded_ranks_fn(spec, mesh, mode) for mode in modes}
 
     if device_filter is None:
         from ..data.filterset import MAX_DENSE_KEYS
@@ -175,7 +222,7 @@ def sharded_test_step(
         device_filter = spec.nentity * spec.nrelation <= MAX_DENSE_KEYS
     multi = jax.process_count() > 1
     dev_filter = None
-    pos_batches = []
+    stacked = None
     if device_filter:
         # multi-process fleets: the CSR + test triples are placed as GLOBAL
         # replicated arrays (every host holds identical copies of both), so
@@ -198,24 +245,27 @@ def sharded_test_step(
             stacked = _place_replicated(stacked, mesh)
         else:
             stacked = jnp.asarray(stacked)
-        pos_batches = eval_mod._unstack_bounded(stacked)
 
     logs = []
-    device_ranks = []
     if dev_filter is not None:
+        # ONE scanned dispatch per mode (mask build + SPMD ranks fused);
+        # per-batch dispatches were call-latency-bound (BENCH_NOTES.md)
+        width = max(Epad, spec.nentity + 1)
+        per_mode_ranks = []
         for mode in modes:
-            for pos_p in pos_batches:
-                mask = dev_filter.mask_rows(pos_p, mode, width=Epad)
-                if mask.shape[1] > Epad:
-                    mask = mask[:, :Epad]
-                device_ranks.append(fns[mode](params, pos_p, mask))
-        per_mode = np.asarray(eval_mod._concat_bounded(device_ranks)).reshape(
-            len(modes), -1
-        )[:, :n_real]
+            offsets, counts, values, k_max = dev_filter._modes[mode]
+            fn = get_sharded_scan_fn(spec, mesh, mode, k_max, width, Epad)
+            per_mode_ranks.append(
+                fn(params, offsets, counts, values, stacked).reshape(-1)
+            )
+        per_mode = np.asarray(
+            eval_mod._concat_bounded(per_mode_ranks)
+        ).reshape(len(modes), -1)[:, :n_real]
         for ranks in per_mode:
             logs.extend(eval_mod.metrics_from_ranks(ranks))
         return {k: float(np.mean([lg[k] for lg in logs])) for k in logs[0]}
 
+    fns = {mode: get_sharded_ranks_fn(spec, mesh, mode) for mode in modes}
     for mode in modes:
         for i in range(0, n_real, test_batch_size):
             pos = np.asarray(test_triples[i : i + test_batch_size], np.int32)
