@@ -102,6 +102,12 @@ def parse_args(argv=None) -> RunConfig:
                    choices=["none", "batch"],
                    help="'batch' shares one negative set across the batch "
                         "(PBG-style, unfiltered) — the high-throughput mode")
+    p.add_argument("--steps_per_dispatch", type=int, default=1,
+                   help=">1 fuses k whole train steps (device sampling + "
+                        "update) into ONE compiled dispatch — removes all "
+                        "per-step host work (single-chip, device-sampler "
+                        "configs; blocks are clipped so log/checkpoint/"
+                        "valid/LR-decay timing is unchanged)")
     p.add_argument("--platform", type=str, default="auto",
                    choices=["auto", "cpu", "tpu"],
                    help="force the JAX backend (reliable override where a "
@@ -243,6 +249,31 @@ def main(argv=None) -> dict:
             shared_negatives=config.negative_sharing == "batch",
             spmd_mode=config.spmd_mode,
         )
+    elif config.do_train and config.steps_per_dispatch > 1:
+        from .data.filterset import MAX_DENSE_KEYS
+        from .fused_train import FusedDeviceTrainer
+
+        if config.sampler_backend not in ("auto", "device"):
+            raise ValueError(
+                "--steps_per_dispatch > 1 fuses the DEVICE sampler into the "
+                f"train program; --sampler_backend {config.sampler_backend} "
+                "cannot feed a fused block"
+            )
+        if (config.negative_sharing != "batch"
+                and ds.nentity * ds.nrelation > MAX_DENSE_KEYS):
+            raise ValueError(
+                "--steps_per_dispatch > 1 needs the device rejection CSR "
+                f"(E*R = {ds.nentity * ds.nrelation} exceeds the int32 "
+                "key space)"
+            )
+        trainer = FusedDeviceTrainer(
+            spec, tspec, params, lr=config.learning_rate,
+            warm_up_steps=warm_up, train=ds.train, seed=config.seed,
+            negative_sharing=config.negative_sharing,
+        )
+        logging.info(
+            "fused training: %d steps per dispatch", config.steps_per_dispatch
+        )
     else:
         trainer = Trainer(spec, tspec, params, lr=config.learning_rate,
                           warm_up_steps=warm_up)
@@ -274,7 +305,11 @@ def main(argv=None) -> dict:
 
     final_metrics = {}
 
-    if config.do_train:
+    if config.do_train and config.steps_per_dispatch > 1:
+        logging.info("learning_rate = %f", trainer.current_learning_rate)
+        _run_fused_training(trainer, config, ds, filters, eval_mod, ckpt_mod)
+        ckpt_mod.save_model(trainer, config, config.save_path)
+    elif config.do_train:
         logging.info("learning_rate = %f", trainer.current_learning_rate)
         sampler_backend = config.sampler_backend
         if (sampler_backend == "auto" and config.num_shards == 1
@@ -482,6 +517,64 @@ def main(argv=None) -> dict:
         final_metrics["train"] = metrics
 
     return final_metrics
+
+
+def _run_fused_training(trainer, config, ds, filters, eval_mod, ckpt_mod):
+    """Block-mode train loop (--steps_per_dispatch > 1): k fused steps per
+    dispatch, with blocks clipped to every log/checkpoint/valid boundary and
+    the warm-up decay step, so event timing and the LR schedule are
+    IDENTICAL to the per-step loop (codes/run.py §main ≈L280-340)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .utils.logging import log_metrics
+    from .utils.profiling import trace as profiler_trace
+
+    def to_boundary(step, period):
+        return period - step % period
+
+    log_keys: list = []
+    log_acc = None
+    acc_fn = jax.jit(lambda acc, vals: acc + jnp.stack(vals))
+    t_last = time.time()
+    n_since = 0
+    ctx = profiler_trace(config.profile_dir)
+    ctx.__enter__()
+    while trainer.step < config.max_steps:
+        step0 = trainer.step
+        k = min(config.steps_per_dispatch, config.max_steps - step0,
+                to_boundary(step0, config.log_steps),
+                to_boundary(step0, config.save_checkpoint_steps))
+        if config.do_valid:
+            k = min(k, to_boundary(step0, config.valid_steps))
+        k = trainer.max_block(k)
+        logs = trainer.run_block(k)  # logs are SUMS over the k steps
+        if log_acc is None:
+            log_keys = sorted(logs)
+            log_acc = np.zeros(len(log_keys), np.float32)
+        log_acc = acc_fn(log_acc, [logs[kk] for kk in log_keys])
+        n_since += k
+
+        step = trainer.step - 1  # last completed step
+        if (step + 1) % config.save_checkpoint_steps == 0:
+            ckpt_mod.save_model(trainer, config, config.save_path)
+        if (step + 1) % config.log_steps == 0:
+            sums = np.asarray(log_acc)  # the one device sync per window
+            metrics = {kk: float(s) / n_since for kk, s in zip(log_keys, sums)}
+            dt = time.time() - t_last
+            metrics["triples_per_sec"] = n_since * config.batch_size / dt
+            log_metrics("Training average", step, metrics)
+            log_acc = np.zeros(len(log_keys), np.float32)
+            t_last = time.time()
+            n_since = 0
+        if config.do_valid and (step + 1) % config.valid_steps == 0:
+            logging.info("Evaluating on Valid Dataset...")
+            metrics = _evaluate(
+                trainer, trainer.spec, config, ds.valid, ds, filters,
+                eval_mod, None,
+            )
+            log_metrics("Valid", step, metrics)
+    ctx.__exit__(None, None, None)
 
 
 def _evaluate(trainer, spec, config, triples, ds, filters, eval_mod, mesh=None) -> dict:

@@ -151,6 +151,7 @@ class RunConfig:
     precision: str = "f32"  # 'f32' | 'bf16' (see TrainSpec.precision)
     sampler_backend: str = "auto"  # 'auto' | 'native' | 'numpy'
     negative_sharing: str = "none"  # 'none' (reference) | 'batch' (shared negs)
+    steps_per_dispatch: int = 1  # >1: fused k-step train blocks (fused_train.py)
     profile_dir: Optional[str] = None  # jax.profiler trace output dir
     eval_filter: str = "auto"  # 'auto' | 'host' | 'device' (device-resident CSR)
     platform: str = "auto"  # 'auto' | 'cpu' | 'tpu' (force the JAX backend)

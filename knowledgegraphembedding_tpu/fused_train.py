@@ -1,0 +1,233 @@
+"""Fused multi-step training: k (sample -> forward -> backward -> Adam)
+steps in ONE compiled dispatch (``--steps_per_dispatch k``).
+
+The reference's train loop round-trips host<->device every step
+(codes/run.py §main ≈L280-340: DataLoader batch in, loss scalar out). The
+single-step TPU path here already moves only a [B] index vector per step
+(sampler/device_sampler.py), but the HOST still pays a per-step dispatch:
+iterator bookkeeping + one jit-call enqueue, ~1-4 ms on a remote-dispatch
+runtime — 10-25 % of a fast step (dense MXU ~15 ms). This module scans k
+whole steps inside one jitted program:
+
+  - device-resident state (triples, subsampling weights, per-mode rejection
+    CSRs) is closed over as jit arguments — uploaded once;
+  - the host ships ONE [k, B] int32 epoch-permutation block per dispatch
+    (k·4 KB) and receives ONE summed-log vector back;
+  - tail/head alternation is a ``lax.cond`` on global-step parity inside
+    the scan body (both mode programs live in the one executable — exactly
+    the two programs the single-step path compiles anyway);
+  - per-step RNG is ``fold_in(mode_base_key, per-mode draw counter)``,
+    derived from the GLOBAL step index — deterministic, resume-stable, and
+    independent of block boundaries (block(k) == k single fused steps
+    bit-for-bit; pinned by tests/test_fused_train.py).
+
+Reference-semantics invariants preserved: the caller (cli.py) clips each
+block so it never crosses a log/checkpoint/valid boundary or the warm-up
+LR-decay step, so event timing and decay placement match the reference
+loop exactly (codes/run.py ≈L300).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .config import ModelSpec, TrainSpec
+from .models import scorers
+from . import optim
+from .train import Trainer, loss_and_logs
+from .sampler.device_sampler import DeviceSampler, csr_member, rejection_negatives
+from .sampler.negative import HEAD_BATCH, TAIL_BATCH
+
+# fixed log-key order for the summed [L] log vector the block returns
+_LOG_KEYS = ("loss", "negative_sample_loss", "positive_sample_loss")
+
+
+def _log_keys(tspec: TrainSpec):
+    return (_LOG_KEYS + ("regularization",) if tspec.regularization != 0.0
+            else _LOG_KEYS)
+
+
+def _sample_one(state: dict, key, idx_row, mode: str, *, spec: ModelSpec,
+                n: int, shared: bool):
+    """One device-side batch draw from the resident state (the same math as
+    DeviceSampler._sample_impl, as a pure function over explicit state)."""
+    pos = jnp.take(state["triples"], idx_row, axis=0)
+    weight = jnp.take(state["weights"], idx_row)
+    if shared:
+        neg = jax.random.randint(key, (1, n), 0, spec.nentity, dtype=jnp.int32)
+        return pos, neg, weight
+    if mode == TAIL_BATCH:
+        qk = pos[:, 0] * spec.nrelation + pos[:, 1]
+        csr = state["tail_csr"]
+    else:
+        qk = pos[:, 1] * spec.nentity + pos[:, 2]
+        csr = state["head_csr"]
+    member = functools.partial(
+        csr_member, csr["offsets"], csr["counts"], csr["values"],
+        state["k_max"][mode],
+    )
+    neg = rejection_negatives(key, qk, member, n, spec.nentity)
+    return pos, neg, weight
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec", "tspec", "k", "seed_head", "seed_tail",
+                     "k_max_head", "k_max_tail", "shared"),
+    donate_argnames=("params", "opt_state"),
+)
+def _block_step(params, opt_state, state, lr, step0, idx_block, *,
+                spec: ModelSpec, tspec: TrainSpec, k: int, seed_head: int,
+                seed_tail: int, k_max_head: int, k_max_tail: int,
+                shared: bool):
+    """k fused steps: (params, opt_state, [k,B] idx) -> (params, opt_state,
+    summed log vector [len(_LOG_KEYS)])."""
+    n = tspec.negative_sample_size
+    head_base = jax.random.PRNGKey(seed_head)
+    tail_base = jax.random.PRNGKey(seed_tail)
+    state = dict(state)
+    state["k_max"] = {HEAD_BATCH: k_max_head, TAIL_BATCH: k_max_tail}
+
+    def one_mode(mode, s, carry, idx_row):
+        params, opt_state = carry
+        if mode == TAIL_BATCH:
+            # tail draws happen at even global steps 0,2,…: draw #(s//2 + 1)
+            key = jax.random.fold_in(tail_base, s // 2 + 1)
+        else:
+            key = jax.random.fold_in(head_base, (s - 1) // 2 + 1)
+        pos, neg, w = _sample_one(state, key, idx_row, mode, spec=spec,
+                                  n=n, shared=shared)
+        grad_fn = jax.value_and_grad(
+            lambda p: loss_and_logs(p, spec, tspec, pos, neg, w, mode),
+            has_aux=True,
+        )
+        (_, logs), grads = grad_fn(params)
+        params, opt_state = optim.apply_update(params, grads, opt_state, lr)
+        return (params, opt_state), jnp.stack(
+            [logs[kk] for kk in _log_keys(tspec)])
+
+    def body(carry, xs):
+        i, idx_row = xs
+        s = step0 + i
+        # tail-first alternation (negative.py §BidirectionalIterator): even
+        # global steps sample tail-batch. lax.cond keeps both mode programs
+        # in this one executable.
+        (params, opt_state), logvec = jax.lax.cond(
+            s % 2 == 0,
+            lambda c: one_mode(TAIL_BATCH, s, c, idx_row),
+            lambda c: one_mode(HEAD_BATCH, s, c, idx_row),
+            carry,
+        )
+        return (params, opt_state), logvec
+
+    (params, opt_state), logmat = jax.lax.scan(
+        body, (params, opt_state),
+        (jnp.arange(k, dtype=jnp.int32), idx_block),
+    )
+    return params, opt_state, jnp.sum(logmat, axis=0)
+
+
+class FusedDeviceTrainer(Trainer):
+    """Drop-in Trainer that ALSO runs fused k-step blocks. Single-step
+    semantics (one_step, checkpoint_state, LR decay + Adam reset) are
+    inherited unchanged; ``run_block(k)`` advances k steps in one dispatch.
+
+    The caller must clip k so a block never crosses the warm-up boundary
+    (lr is constant within a block) — ``max_block(k)`` does the math.
+    """
+
+    def __init__(self, spec: ModelSpec, tspec: TrainSpec, params, lr: float,
+                 warm_up_steps: int, train: np.ndarray, seed: int = 0,
+                 init_step: int = 0, negative_sharing: str = "none"):
+        super().__init__(spec, tspec, params, lr=lr,
+                         warm_up_steps=warm_up_steps, init_step=init_step)
+        self.negative_sharing = negative_sharing
+        # two DeviceSamplers hold the resident state + host permutations;
+        # their own RNG is unused (the block derives per-step keys), but the
+        # index streams are exactly the iterator's (head seed, tail seed+1)
+        self._head = DeviceSampler(
+            train, spec.nentity, spec.nrelation, tspec.batch_size,
+            tspec.negative_sample_size, HEAD_BATCH, seed=seed,
+            negative_sharing=negative_sharing,
+        )
+        self._tail = DeviceSampler(
+            train, spec.nentity, spec.nrelation, tspec.batch_size,
+            tspec.negative_sample_size, TAIL_BATCH, seed=seed + 1,
+            negative_sharing=negative_sharing,
+            shared_state=(self._head.triples, self._head.weights),
+        )
+        self._seed_head, self._seed_tail = seed, seed + 1
+        shared = negative_sharing == "batch"
+        self._state = {
+            "triples": self._head.triples,
+            "weights": self._head.weights,
+        }
+        self._k_max = {HEAD_BATCH: 0, TAIL_BATCH: 0}
+        if not shared:
+            self._state["head_csr"] = {
+                "offsets": self._head.csr.offsets,
+                "counts": self._head.csr.counts,
+                "values": self._head.csr.values,
+            }
+            self._state["tail_csr"] = {
+                "offsets": self._tail.csr.offsets,
+                "counts": self._tail.csr.counts,
+                "values": self._tail.csr.values,
+            }
+            self._k_max = {HEAD_BATCH: self._head.csr.k_max,
+                           TAIL_BATCH: self._tail.csr.k_max}
+        else:
+            # cond branches need identical state pytrees
+            empty = {"offsets": jnp.zeros(1, jnp.int32),
+                     "counts": jnp.zeros(1, jnp.int32),
+                     "values": jnp.zeros(1, jnp.int32)}
+            self._state["head_csr"] = empty
+            self._state["tail_csr"] = dict(empty)
+        self._shared = shared
+
+    def max_block(self, k: int) -> int:
+        """Largest block from the current step that keeps lr constant: the
+        decay fires AFTER step_idx >= warm_up_steps, so the boundary step
+        itself may close a block but not be crossed."""
+        return max(1, min(k, self.warm_up_steps + 1 - self.step))
+
+    def run_block(self, k: int) -> Dict[str, float]:
+        """Advance k fused steps; returns the SUMMED logs dict (caller
+        divides by its window count, exactly like per-step accumulation)."""
+        assert k <= self.max_block(k), (k, self.step, self.warm_up_steps)
+        idx = np.stack([
+            (self._tail if (self.step + i) % 2 == 0 else self._head)
+            ._next_indices()
+            for i in range(k)
+        ])
+        step0 = self.step
+        self.params, self.opt_state, logvec = _block_step(
+            self.params, self.opt_state, self._state,
+            jnp.asarray(self.current_learning_rate,
+                        self.params["entity_embedding"].dtype),
+            jnp.int32(step0), jnp.asarray(idx),
+            spec=self.spec, tspec=self.tspec, k=k,
+            seed_head=self._seed_head, seed_tail=self._seed_tail,
+            k_max_head=self._k_max[HEAD_BATCH],
+            k_max_tail=self._k_max[TAIL_BATCH],
+            shared=self._shared,
+        )
+        self.step = step0 + k
+        last = self.step - 1
+        if last >= self.warm_up_steps:  # same one-shot decay as Trainer
+            self.current_learning_rate /= 10.0
+            import logging
+
+            logging.info(
+                "Change learning_rate to %f at step %d",
+                self.current_learning_rate, last,
+            )
+            self.opt_state = optim.init_state(self.params)
+            self.warm_up_steps = self.warm_up_steps * 3
+        return dict(zip(_log_keys(self.tspec), logvec))

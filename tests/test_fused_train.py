@@ -1,0 +1,131 @@
+"""Fused multi-step training (fused_train.py, --steps_per_dispatch):
+block(k) must equal k fused single steps exactly (same per-step RNG
+derivation), blocks must respect boundary clipping + LR decay semantics,
+the quality bar must hold end to end, and the CLI flow must run with
+reference-identical event timing."""
+
+import os
+import re
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from knowledgegraphembedding_tpu import cli
+from knowledgegraphembedding_tpu import eval as eval_mod
+from knowledgegraphembedding_tpu.config import ModelSpec, TrainSpec
+from knowledgegraphembedding_tpu.data.filterset import FilterSets
+from knowledgegraphembedding_tpu.data.synthetic import make_clustered_kg
+from knowledgegraphembedding_tpu.data.vocab import save_dataset
+from knowledgegraphembedding_tpu.fused_train import FusedDeviceTrainer
+from knowledgegraphembedding_tpu.models import kge
+
+
+def _setup(negative_sharing="none", seed=0):
+    ds = make_clustered_kg(n_clusters=5, entities_per_cluster=8, nrelation=2, seed=1)
+    spec = ModelSpec(
+        model_name="RotatE", nentity=ds.nentity, nrelation=ds.nrelation,
+        hidden_dim=16, gamma=6.0, double_entity_embedding=True,
+    )
+    tspec = TrainSpec(negative_sample_size=8, batch_size=32,
+                      negative_adversarial_sampling=True)
+    params = kge.init_params(spec, jax.random.PRNGKey(seed))
+    return ds, spec, tspec, params
+
+
+@pytest.mark.parametrize("negative_sharing", ["none", "batch"])
+def test_block_equals_singles(negative_sharing):
+    """run_block(8) == 8 x run_block(1): identical params, moments, and
+    summed logs (the per-step key derivation is block-size independent)."""
+    ds, spec, tspec, params = _setup(negative_sharing)
+    a = FusedDeviceTrainer(spec, tspec, params, lr=1e-2, warm_up_steps=10**9,
+                           train=ds.train, seed=3,
+                           negative_sharing=negative_sharing)
+    b = FusedDeviceTrainer(spec, tspec, params, lr=1e-2, warm_up_steps=10**9,
+                           train=ds.train, seed=3,
+                           negative_sharing=negative_sharing)
+    logs_a = a.run_block(8)
+    sums = None
+    for _ in range(8):
+        lg = b.run_block(1)
+        sums = (lg if sums is None
+                else {k: sums[k] + lg[k] for k in lg})
+    assert a.step == b.step == 8
+    for k in a.params:
+        np.testing.assert_allclose(
+            np.asarray(a.params[k]), np.asarray(b.params[k]),
+            rtol=1e-6, atol=1e-7, err_msg=k)
+    np.testing.assert_allclose(
+        np.asarray(a.opt_state.m["entity_embedding"]),
+        np.asarray(b.opt_state.m["entity_embedding"]), rtol=1e-6, atol=1e-8)
+    for k in logs_a:
+        np.testing.assert_allclose(float(logs_a[k]), float(sums[k]),
+                                   rtol=1e-5, err_msg=k)
+
+
+def test_decay_fires_after_block_at_boundary():
+    ds, spec, tspec, params = _setup()
+    tr = FusedDeviceTrainer(spec, tspec, params, lr=1e-2, warm_up_steps=10,
+                            train=ds.train, seed=0)
+    assert tr.max_block(64) == 11  # step 10 may close the block, not be crossed
+    tr.run_block(tr.max_block(64))
+    assert tr.step == 11
+    np.testing.assert_allclose(tr.current_learning_rate, 1e-3)
+    assert tr.warm_up_steps == 30
+    assert int(tr.opt_state.count) == 0  # fresh Adam after the reset
+
+
+def test_fused_learns_clustered_graph():
+    ds = make_clustered_kg(n_clusters=6, entities_per_cluster=10, nrelation=3, seed=0)
+    spec = ModelSpec(
+        model_name="RotatE", nentity=ds.nentity, nrelation=ds.nrelation,
+        hidden_dim=32, gamma=6.0, double_entity_embedding=True,
+    )
+    tspec = TrainSpec(negative_sample_size=32, batch_size=64,
+                      negative_adversarial_sampling=True)
+    filters = FilterSets.build(ds.train, ds.all_true_triples, ds.nentity, ds.nrelation)
+    tr = FusedDeviceTrainer(spec, tspec, kge.init_params(spec, jax.random.PRNGKey(0)),
+                            lr=5e-3, warm_up_steps=10**9, train=ds.train, seed=0)
+    for _ in range(300 // 20):
+        tr.run_block(20)
+    metrics = eval_mod.test_step(tr.params, spec, ds.test, filters,
+                                 test_batch_size=8, eval_chunk_size=32)
+    assert metrics["HITS@10"] > 0.35, metrics
+
+
+def test_cli_fused_flow(tmp_path):
+    """--steps_per_dispatch 8: event cadence identical to the per-step loop
+    (log lines at the same steps), checkpoint resume reproduces metrics."""
+    ds = make_clustered_kg(n_clusters=4, entities_per_cluster=7, nrelation=2, seed=5)
+    data_dir, save_dir = str(tmp_path / "data"), str(tmp_path / "save")
+    save_dataset(ds, data_dir)
+    metrics = cli.main([
+        "--do_train", "--do_test", "--data_path", data_dir, "--model",
+        "RotatE", "-de", "-n", "8", "-b", "32", "-d", "8", "-g", "4.0",
+        "-adv", "-lr", "0.01", "--max_steps", "60", "--log_steps", "20",
+        "--warm_up_steps", "30", "--test_batch_size", "4",
+        "--steps_per_dispatch", "8", "-save", save_dir,
+    ])
+    assert 0 < metrics["test"]["MRR"] <= 1
+    log_text = open(os.path.join(save_dir, "train.log")).read()
+    # window logs land at exactly the reference steps despite 8-step blocks
+    steps = re.findall(r"Training average loss at step (\d+):", log_text)
+    assert steps == ["19", "39", "59"], steps
+    assert "Change learning_rate" in log_text  # decay fired (warm_up 30)
+    metrics2 = cli.main(["--do_test", "-init", save_dir, "--eval_chunk_size", "16"])
+    assert abs(metrics2["test"]["MRR"] - metrics["test"]["MRR"]) < 1e-6
+
+
+def test_cli_fused_rejects_host_sampler(tmp_path):
+    ds = make_clustered_kg(n_clusters=3, entities_per_cluster=6, nrelation=2, seed=5)
+    data_dir = str(tmp_path / "data")
+    save_dataset(ds, data_dir)
+    with pytest.raises(ValueError, match="fused"):
+        cli.main([
+            "--do_train", "--data_path", data_dir, "--model", "TransE",
+            "-n", "4", "-b", "16", "-d", "8", "--max_steps", "10",
+            "--steps_per_dispatch", "4", "--sampler_backend", "native",
+            "-save", str(tmp_path / "save"),
+        ])
