@@ -85,6 +85,44 @@ def _measure_train(model="RotatE", scoring="auto", precision="f32",
     return n_steps * B / dt
 
 
+def _measure_fused(model="RotatE", scoring="auto", precision="f32",
+                   negative_sharing="none", B=1024, n=256, d=1000,
+                   k=16, n_steps=64):
+    """Fused k-step-block throughput (--steps_per_dispatch k)."""
+    from knowledgegraphembedding_tpu.config import ModelSpec, TrainSpec
+    from knowledgegraphembedding_tpu.data.synthetic import make_random_kg
+    from knowledgegraphembedding_tpu.fused_train import FusedDeviceTrainer
+    from knowledgegraphembedding_tpu.models import kge
+
+    ds = make_random_kg(nentity=14541, nrelation=237, ntriples=272115,
+                        n_valid=1000, n_test=1000, seed=0)
+    spec = ModelSpec(
+        model_name=model, nentity=ds.nentity, nrelation=ds.nrelation,
+        hidden_dim=d, gamma=9.0,
+        double_entity_embedding=model in ("RotatE", "ComplEx"),
+        double_relation_embedding=model == "ComplEx",
+    )
+    tspec = TrainSpec(
+        negative_sample_size=n, batch_size=B,
+        negative_adversarial_sampling=True, scoring=scoring,
+        precision=precision,
+    )
+    tr = FusedDeviceTrainer(
+        spec, tspec, kge.init_params(spec, jax.random.PRNGKey(0)),
+        lr=5e-5, warm_up_steps=10**9, train=ds.train,
+        negative_sharing=negative_sharing,
+    )
+    probe = jax.jit(lambda x: jnp.sum(x[:1, :1]))
+    tr.run_block(k)
+    float(probe(tr.params["entity_embedding"]))
+    t0 = time.perf_counter()
+    for _ in range(n_steps // k):
+        tr.run_block(k)
+    float(probe(tr.params["entity_embedding"]))
+    dt = time.perf_counter() - t0
+    return (n_steps // k) * k * B / dt
+
+
 def matrix():
     """Full measured matrix (manual use; the driver runs the default
     single-line mode). One JSON line per configuration."""
@@ -108,6 +146,17 @@ def matrix():
     for c in cases:
         name = c.pop("name")
         tps = _measure_train(**c)
+        print(json.dumps({"metric": f"train triples/s — {name}",
+                          "value": round(tps, 1), "unit": "triples/s"}))
+
+    for name, kw in [
+        ("RotatE shared negs bf16, fused k=16 (max-throughput stack)",
+         dict(model="RotatE", scoring="gather", negative_sharing="batch",
+              precision="bf16")),
+        ("DistMult dense MXU f32, fused k=16",
+         dict(model="DistMult", scoring="dense")),
+    ]:
+        tps = _measure_fused(**kw)
         print(json.dumps({"metric": f"train triples/s — {name}",
                           "value": round(tps, 1), "unit": "triples/s"}))
 
