@@ -243,12 +243,37 @@ def main(argv=None) -> dict:
                 jax.process_index(), jax.process_count(),
                 jax.local_device_count(),
             )
-        trainer = sharding_mod.ShardedTrainer(
-            spec, tspec, params, lr=config.learning_rate,
-            warm_up_steps=warm_up, mesh=mesh,
-            shared_negatives=config.negative_sharing == "batch",
-            spmd_mode=config.spmd_mode,
-        )
+        if config.do_train and config.steps_per_dispatch > 1:
+            from .fused_train import FusedMeshTrainer
+
+            if config.spmd_mode != "shardmap":
+                raise ValueError(
+                    "--steps_per_dispatch > 1 on a mesh fuses the "
+                    "hand-scheduled collective step; use --spmd_mode "
+                    f"shardmap (got {config.spmd_mode!r})"
+                )
+            if config.sampler_backend not in ("auto", "device"):
+                raise ValueError(
+                    "--steps_per_dispatch > 1 fuses the DEVICE sampler into "
+                    "the train program; --sampler_backend "
+                    f"{config.sampler_backend} cannot feed a fused block"
+                )
+            trainer = FusedMeshTrainer(
+                spec, tspec, params, lr=config.learning_rate,
+                warm_up_steps=warm_up, train=ds.train, mesh=mesh,
+                seed=config.seed, negative_sharing=config.negative_sharing,
+            )
+            logging.info(
+                "fused training: %d steps per dispatch on the %d-device mesh",
+                config.steps_per_dispatch, config.num_shards,
+            )
+        else:
+            trainer = sharding_mod.ShardedTrainer(
+                spec, tspec, params, lr=config.learning_rate,
+                warm_up_steps=warm_up, mesh=mesh,
+                shared_negatives=config.negative_sharing == "batch",
+                spmd_mode=config.spmd_mode,
+            )
     elif config.do_train and config.steps_per_dispatch > 1:
         from .data.filterset import MAX_DENSE_KEYS
         from .fused_train import FusedDeviceTrainer
@@ -571,7 +596,7 @@ def _run_fused_training(trainer, config, ds, filters, eval_mod, ckpt_mod):
             logging.info("Evaluating on Valid Dataset...")
             metrics = _evaluate(
                 trainer, trainer.spec, config, ds.valid, ds, filters,
-                eval_mod, None,
+                eval_mod, getattr(trainer, "mesh", None),
             )
             log_metrics("Valid", step, metrics)
     ctx.__exit__(None, None, None)

@@ -231,3 +231,211 @@ class FusedDeviceTrainer(Trainer):
             self.opt_state = optim.init_state(self.params)
             self.warm_up_steps = self.warm_up_steps * 3
         return dict(zip(_log_keys(self.tspec), logvec))
+
+
+# ---------------------------------------------------------------------------
+# Mesh-wide fused blocks: k SPMD steps (per-device sampling + explicit
+# all_gather/psum_scatter collectives) in one dispatch
+# ---------------------------------------------------------------------------
+
+class FusedMeshTrainer:
+    """k fused steps per dispatch on a device mesh (``--steps_per_dispatch``
+    with ``--num_shards``): ONE shard_map program in which each device
+    rejection-samples its shard of the batch and runs the hand-scheduled
+    FSDP-style step (parallel/shard_map_step.py: all_gather table forward,
+    psum_scatter grads backward) — scanned k times. Hosts ship one
+    [k, B/P] index block per dispatch; works single- and multi-host.
+
+    Same external surface as ShardedTrainer (checkpoint_state /
+    host_params / load_host_state) plus run_block/max_block, so cli.py's
+    fused loop drives either trainer unchanged.
+    """
+
+    def __init__(self, spec: ModelSpec, tspec: TrainSpec, params, lr: float,
+                 warm_up_steps: int, train: np.ndarray, mesh, seed: int = 0,
+                 init_step: int = 0, negative_sharing: str = "none"):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .parallel import sharding as sh
+        from .sampler.device_sampler import MeshDeviceSampler
+
+        self.spec = spec
+        self.tspec = tspec
+        self.mesh = mesh
+        n_dev = mesh.devices.size
+        self.params = sh.shard_params(sh.pad_params(params, n_dev), spec, mesh)
+        self.opt_state = sh.shard_opt_state(
+            optim.init_state(self.params), spec, mesh)
+        self.current_learning_rate = lr
+        self.warm_up_steps = warm_up_steps
+        self.step = init_step
+        self.negative_sharing = negative_sharing
+        shared = negative_sharing == "batch"
+        self._shared = shared
+        self._seed_head, self._seed_tail = seed, seed + 1
+
+        import jax as _jax
+
+        index_subset = None
+        if _jax.process_count() > 1:
+            from .parallel import multihost
+
+            index_subset = multihost.host_shard_of_indices(len(train))
+        self._head = MeshDeviceSampler(
+            train, spec.nentity, spec.nrelation, tspec.batch_size,
+            tspec.negative_sample_size, HEAD_BATCH, mesh, seed=seed,
+            negative_sharing=negative_sharing, index_subset=index_subset)
+        self._tail = MeshDeviceSampler(
+            train, spec.nentity, spec.nrelation, tspec.batch_size,
+            tspec.negative_sample_size, TAIL_BATCH, mesh, seed=seed + 1,
+            negative_sharing=negative_sharing, index_subset=index_subset,
+            shared_state=self._head._shareable_state)
+        empty = {"offsets": jnp.zeros(1, jnp.int32),
+                 "counts": jnp.zeros(1, jnp.int32),
+                 "values": jnp.zeros(1, jnp.int32)}
+        self._state = {
+            "triples": self._head._shareable_state["triples"],
+            "weights": self._head._shareable_state["weights"],
+            "head_csr": dict(self._head._mode_state) or empty,
+            "tail_csr": dict(self._tail._mode_state) or dict(empty),
+        }
+        self._k_max = {
+            HEAD_BATCH: getattr(self._head, "_csr_k_max", 0),
+            TAIL_BATCH: getattr(self._tail, "_csr_k_max", 0),
+        }
+        self._idx_sharding = NamedSharding(mesh, P(None, "data"))
+        self._block_cache: dict = {}
+
+    # --- ShardedTrainer-compatible checkpoint surface ---
+    host_params = None  # bound below to the ShardedTrainer implementations
+
+    def max_block(self, k: int) -> int:
+        return max(1, min(k, self.warm_up_steps + 1 - self.step))
+
+    def _block_fn(self, k: int):
+        fn = self._block_cache.get(k)
+        if fn is not None:
+            return fn
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .parallel.shard_map_step import _global_loss_and_logs
+        from .parallel.sharding import batch_specs, opt_specs, param_specs
+
+        spec, tspec = self.spec, self.tspec
+        n = tspec.negative_sample_size
+        n_shards = self.mesh.devices.size
+        shared = self._shared
+        seed_head, seed_tail = self._seed_head, self._seed_tail
+        k_max = dict(self._k_max)
+        log_keys = _log_keys(tspec)
+
+        def per_device(params, opt_state, state, lr, step0, idx_block):
+            head_base = jax.random.PRNGKey(seed_head)
+            tail_base = jax.random.PRNGKey(seed_tail)
+            dev = jax.lax.axis_index("data")
+
+            def one_mode(mode, s, carry, idx_row):
+                params, opt_state = carry
+                pos = jnp.take(state["triples"], idx_row, axis=0)
+                w = jnp.take(state["weights"], idx_row)
+                base = tail_base if mode == TAIL_BATCH else head_base
+                draw = s // 2 + 1 if mode == TAIL_BATCH else (s - 1) // 2 + 1
+                key = jax.random.fold_in(base, draw)
+                if shared:
+                    # un-folded: identical replicated [1, n] on every device
+                    neg = jax.random.randint(key, (1, n), 0, spec.nentity,
+                                             dtype=jnp.int32)
+                else:
+                    dev_key = jax.random.fold_in(key, dev)
+                    if mode == TAIL_BATCH:
+                        qk = pos[:, 0] * spec.nrelation + pos[:, 1]
+                        csr = state["tail_csr"]
+                    else:
+                        qk = pos[:, 1] * spec.nentity + pos[:, 2]
+                        csr = state["head_csr"]
+                    member = functools.partial(
+                        csr_member, csr["offsets"], csr["counts"],
+                        csr["values"], k_max[mode])
+                    neg = rejection_negatives(dev_key, qk, member, n,
+                                              spec.nentity)
+                grad_fn = jax.value_and_grad(
+                    lambda p: _global_loss_and_logs(
+                        p, spec, tspec, pos, neg, w, mode, n_shards),
+                    has_aux=True)
+                (_, logs), grads = grad_fn(params)
+                params, opt_state = optim.apply_update(
+                    params, grads, opt_state, lr)
+                return (params, opt_state), jnp.stack(
+                    [logs[kk] for kk in log_keys])
+
+            def body(carry, xs):
+                i, idx_row = xs
+                s = step0 + i
+                return jax.lax.cond(
+                    s % 2 == 0,
+                    lambda c: one_mode(TAIL_BATCH, s, c, idx_row),
+                    lambda c: one_mode(HEAD_BATCH, s, c, idx_row),
+                    carry)
+
+            (params, opt_state), logmat = jax.lax.scan(
+                body, (params, opt_state),
+                (jnp.arange(k, dtype=jnp.int32), idx_block))
+            return params, opt_state, jnp.sum(logmat, axis=0)
+
+        P_ = P
+        p_specs = param_specs(spec)
+        o_specs = opt_specs(spec)
+        state_specs = jax.tree.map(lambda _: P_(), self._state)
+        body = jax.shard_map(
+            per_device,
+            mesh=self.mesh,
+            in_specs=(p_specs, o_specs, state_specs, P_(), P_(),
+                      P_(None, "data")),
+            out_specs=(p_specs, o_specs, P_()),
+            check_vma=True,
+        )
+        fn = jax.jit(body, donate_argnums=(0, 1))
+        self._block_cache[k] = fn
+        return fn
+
+    def run_block(self, k: int) -> Dict[str, float]:
+        assert k <= self.max_block(k), (k, self.step, self.warm_up_steps)
+        local = np.stack([
+            (self._tail if (self.step + i) % 2 == 0 else self._head)
+            ._next_indices()
+            for i in range(k)
+        ])
+        if jax.process_count() == 1:
+            idx = jax.device_put(local, self._idx_sharding)
+        else:
+            idx = jax.make_array_from_process_local_data(
+                self._idx_sharding, local)
+        step0 = self.step
+        self.params, self.opt_state, logvec = self._block_fn(k)(
+            self.params, self.opt_state, self._state,
+            jnp.float32(self.current_learning_rate), jnp.int32(step0), idx,
+        )
+        self.step = step0 + k
+        last = self.step - 1
+        if last >= self.warm_up_steps:
+            from .parallel import sharding as sh
+
+            self.current_learning_rate /= 10.0
+            import logging
+
+            logging.info(
+                "Change learning_rate to %f at step %d",
+                self.current_learning_rate, last)
+            self.opt_state = sh.shard_opt_state(
+                optim.init_state(self.params), self.spec, self.mesh)
+            self.warm_up_steps = self.warm_up_steps * 3
+        return dict(zip(_log_keys(self.tspec), logvec))
+
+
+# checkpoint/restore surface: identical mechanics to ShardedTrainer — bind
+# its implementations rather than duplicating the padding/replication logic
+from .parallel.sharding import ShardedTrainer as _ST  # noqa: E402
+
+FusedMeshTrainer.host_params = _ST.host_params
+FusedMeshTrainer.checkpoint_state = _ST.checkpoint_state
+FusedMeshTrainer.load_host_state = _ST.load_host_state

@@ -438,6 +438,7 @@ class MeshDeviceSampler:
                 "counts": _place_replicated(counts_arr, mesh),
                 "values": _place_replicated(values, mesh),
             }
+            self._csr_k_max = int(k_max)
         self._state = {**state, **self._mode_state}
         self._shareable_state = state  # triples/weights: mode-independent
 
