@@ -275,7 +275,6 @@ def main(argv=None) -> dict:
                 spmd_mode=config.spmd_mode,
             )
     elif config.do_train and config.steps_per_dispatch > 1:
-        from .data.filterset import MAX_DENSE_KEYS
         from .fused_train import FusedDeviceTrainer
 
         if config.sampler_backend not in ("auto", "device"):
@@ -285,11 +284,13 @@ def main(argv=None) -> dict:
                 "cannot feed a fused block"
             )
         if (config.negative_sharing != "batch"
-                and ds.nentity * ds.nrelation > MAX_DENSE_KEYS):
+                and ds.nentity * ds.nrelation >= 2**31):
+            # same bound as DeviceSampler itself (int32 composite keys) —
+            # pre-checked here for a flag-level message
             raise ValueError(
-                "--steps_per_dispatch > 1 needs the device rejection CSR "
-                f"(E*R = {ds.nentity * ds.nrelation} exceeds the int32 "
-                "key space)"
+                "--steps_per_dispatch > 1 needs the device rejection CSR, "
+                f"whose composite key space E*R = {ds.nentity * ds.nrelation} "
+                "exceeds int32; use the per-step host sampler"
             )
         trainer = FusedDeviceTrainer(
             spec, tspec, params, lr=config.learning_rate,

@@ -104,9 +104,18 @@ def get_device_filter(filters: FilterSets, mesh=None) -> "DeviceFilter":
 # (~1 GB at YAGO d=1000 scale). test_step is called several times against
 # the SAME params (valid then test at run end; bench matrix; evaluate_train)
 # — cache the last ranker keyed on table identity so only the first call
-# per table pays the prep. A weakref keeps a stale table from being pinned
-# in HBM once training replaces it.
+# per table pays the prep. The weakref's DEATH CALLBACK drops the cached
+# ranker (and its ~1 GB padded table) the moment training replaces the
+# params buffer — merely checking liveness on the next lookup would pin
+# the stale copy in HBM for the whole inter-validation interval.
 _pallas_ranker_cache = None  # (weakref(table), spec, ranker)
+
+
+def _drop_ranker_cache(dead_ref):
+    global _pallas_ranker_cache
+    c = _pallas_ranker_cache
+    if c is not None and c[0] is dead_ref:
+        _pallas_ranker_cache = None
 
 
 def get_pallas_ranker(params: kge.Params, spec: ModelSpec) -> "object":
@@ -118,7 +127,8 @@ def get_pallas_ranker(params: kge.Params, spec: ModelSpec) -> "object":
     if c is not None and c[0]() is table and c[1] == spec:
         return c[2]
     ranker = pallas_rank.PallasRanker(params, spec)
-    _pallas_ranker_cache = (weakref.ref(table), spec, ranker)
+    _pallas_ranker_cache = (weakref.ref(table, _drop_ranker_cache), spec,
+                           ranker)
     return ranker
 
 
@@ -394,6 +404,16 @@ def test_step(
         device_filter = on_tpu and (
             spec.nentity * spec.nrelation <= MAX_DENSE_KEYS
         )
+    elif device_filter and spec.nentity * spec.nrelation >= 2**31:
+        # explicit request on a key space the dense CSR cannot index:
+        # warn + host masks rather than a mid-run ValueError
+        if logger is not None:
+            logger.warning(
+                "--eval_filter device: composite key space E*R = %d "
+                "exceeds int32; using host filter masks",
+                spec.nentity * spec.nrelation,
+            )
+        device_filter = False
 
     chunk = min(eval_chunk_size, _cdiv(spec.nentity, 1))
     total = len(test_triples) * len(modes)

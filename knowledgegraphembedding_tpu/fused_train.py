@@ -55,25 +55,44 @@ def _log_keys(tspec: TrainSpec):
 
 def _sample_one(state: dict, key, idx_row, mode: str, *, spec: ModelSpec,
                 n: int, shared: bool):
-    """One device-side batch draw from the resident state (the same math as
-    DeviceSampler._sample_impl, as a pure function over explicit state)."""
-    pos = jnp.take(state["triples"], idx_row, axis=0)
-    weight = jnp.take(state["weights"], idx_row)
-    if shared:
-        neg = jax.random.randint(key, (1, n), 0, spec.nentity, dtype=jnp.int32)
-        return pos, neg, weight
-    if mode == TAIL_BATCH:
-        qk = pos[:, 0] * spec.nrelation + pos[:, 1]
-        csr = state["tail_csr"]
-    else:
-        qk = pos[:, 1] * spec.nentity + pos[:, 2]
-        csr = state["head_csr"]
-    member = functools.partial(
-        csr_member, csr["offsets"], csr["counts"], csr["values"],
-        state["k_max"][mode],
+    """One device-side batch draw from the resident two-mode state — a thin
+    adapter over the ONE shared implementation
+    (sampler/device_sampler.py §sample_batch)."""
+    from .sampler.device_sampler import sample_batch
+
+    csr = (None if shared
+           else state["tail_csr" if mode == TAIL_BATCH else "head_csr"])
+    k_max = 0 if shared else state["k_max"][mode]
+    return sample_batch(
+        state["triples"], state["weights"], csr, k_max, key, idx_row, mode,
+        nentity=spec.nentity, nrelation=spec.nrelation, n=n, shared=shared,
     )
-    neg = rejection_negatives(key, qk, member, n, spec.nentity)
-    return pos, neg, weight
+
+
+def _step_key(head_base, tail_base, mode: str, s):
+    """Per-step draw key from the GLOBAL step index: tail draws happen at
+    even steps 0,2,… (tail-first alternation) so tail's draw counter at
+    step s is s//2 + 1 — block-size independent and resume-stable."""
+    if mode == TAIL_BATCH:
+        return jax.random.fold_in(tail_base, s // 2 + 1)
+    return jax.random.fold_in(head_base, (s - 1) // 2 + 1)
+
+
+def _decay_after_block(trainer, make_opt_state):
+    """The reference's one-shot warm-up decay, applied after a block whose
+    last step reached the boundary (codes/run.py ≈L300): lr/10, FRESH
+    optimizer state, warm_up*3. Shared by both fused trainers."""
+    last = trainer.step - 1
+    if last >= trainer.warm_up_steps:
+        trainer.current_learning_rate /= 10.0
+        import logging
+
+        logging.info(
+            "Change learning_rate to %f at step %d",
+            trainer.current_learning_rate, last,
+        )
+        trainer.opt_state = make_opt_state()
+        trainer.warm_up_steps = trainer.warm_up_steps * 3
 
 
 @functools.partial(
@@ -96,11 +115,7 @@ def _block_step(params, opt_state, state, lr, step0, idx_block, *,
 
     def one_mode(mode, s, carry, idx_row):
         params, opt_state = carry
-        if mode == TAIL_BATCH:
-            # tail draws happen at even global steps 0,2,…: draw #(s//2 + 1)
-            key = jax.random.fold_in(tail_base, s // 2 + 1)
-        else:
-            key = jax.random.fold_in(head_base, (s - 1) // 2 + 1)
+        key = _step_key(head_base, tail_base, mode, s)
         pos, neg, w = _sample_one(state, key, idx_row, mode, spec=spec,
                                   n=n, shared=shared)
         grad_fn = jax.value_and_grad(
@@ -219,17 +234,7 @@ class FusedDeviceTrainer(Trainer):
             shared=self._shared,
         )
         self.step = step0 + k
-        last = self.step - 1
-        if last >= self.warm_up_steps:  # same one-shot decay as Trainer
-            self.current_learning_rate /= 10.0
-            import logging
-
-            logging.info(
-                "Change learning_rate to %f at step %d",
-                self.current_learning_rate, last,
-            )
-            self.opt_state = optim.init_state(self.params)
-            self.warm_up_steps = self.warm_up_steps * 3
+        _decay_after_block(self, lambda: optim.init_state(self.params))
         return dict(zip(_log_keys(self.tspec), logvec))
 
 
@@ -336,28 +341,16 @@ class FusedMeshTrainer:
 
             def one_mode(mode, s, carry, idx_row):
                 params, opt_state = carry
-                pos = jnp.take(state["triples"], idx_row, axis=0)
-                w = jnp.take(state["weights"], idx_row)
-                base = tail_base if mode == TAIL_BATCH else head_base
-                draw = s // 2 + 1 if mode == TAIL_BATCH else (s - 1) // 2 + 1
-                key = jax.random.fold_in(base, draw)
-                if shared:
-                    # un-folded: identical replicated [1, n] on every device
-                    neg = jax.random.randint(key, (1, n), 0, spec.nentity,
-                                             dtype=jnp.int32)
-                else:
-                    dev_key = jax.random.fold_in(key, dev)
-                    if mode == TAIL_BATCH:
-                        qk = pos[:, 0] * spec.nrelation + pos[:, 1]
-                        csr = state["tail_csr"]
-                    else:
-                        qk = pos[:, 1] * spec.nentity + pos[:, 2]
-                        csr = state["head_csr"]
-                    member = functools.partial(
-                        csr_member, csr["offsets"], csr["counts"],
-                        csr["values"], k_max[mode])
-                    neg = rejection_negatives(dev_key, qk, member, n,
-                                              spec.nentity)
+                key = _step_key(head_base, tail_base, mode, s)
+                # shared negatives keep the UN-folded key (identical
+                # replicated [1, n] on every device); per-positive draws
+                # fold in the mesh position for independent streams
+                if not shared:
+                    key = jax.random.fold_in(key, dev)
+                st = dict(state)
+                st["k_max"] = k_max
+                pos, neg, w = _sample_one(st, key, idx_row, mode, spec=spec,
+                                          n=n, shared=shared)
                 grad_fn = jax.value_and_grad(
                     lambda p: _global_loss_and_logs(
                         p, spec, tspec, pos, neg, w, mode, n_shards),
@@ -416,19 +409,14 @@ class FusedMeshTrainer:
             jnp.float32(self.current_learning_rate), jnp.int32(step0), idx,
         )
         self.step = step0 + k
-        last = self.step - 1
-        if last >= self.warm_up_steps:
+
+        def reset_opt():
             from .parallel import sharding as sh
 
-            self.current_learning_rate /= 10.0
-            import logging
-
-            logging.info(
-                "Change learning_rate to %f at step %d",
-                self.current_learning_rate, last)
-            self.opt_state = sh.shard_opt_state(
+            return sh.shard_opt_state(
                 optim.init_state(self.params), self.spec, self.mesh)
-            self.warm_up_steps = self.warm_up_steps * 3
+
+        _decay_after_block(self, reset_opt)
         return dict(zip(_log_keys(self.tspec), logvec))
 
 

@@ -220,6 +220,18 @@ def sharded_test_step(
         from ..data.filterset import MAX_DENSE_KEYS
 
         device_filter = spec.nentity * spec.nrelation <= MAX_DENSE_KEYS
+    elif device_filter and spec.nentity * spec.nrelation >= 2**31:
+        # an EXPLICIT --eval_filter device on a key space the CSR cannot
+        # index: warn and fall back — crashing a fleet mid-validation would
+        # be worse than the host-mask path
+        import logging
+
+        logging.warning(
+            "--eval_filter device: composite key space E*R = %d exceeds "
+            "int32; using host filter masks",
+            spec.nentity * spec.nrelation,
+        )
+        device_filter = False
     multi = jax.process_count() > 1
     dev_filter = None
     stacked = None

@@ -142,6 +142,30 @@ def rejection_negatives(rng: jax.Array, qk: jnp.ndarray, member_fn, n: int,
     return state[1]
 
 
+def sample_batch(triples, weights, csr, k_max: int, key, idx_row, mode: str,
+                 *, nentity: int, nrelation: int, n: int, shared: bool):
+    """THE device-side batch draw: positives + weights by epoch index, then
+    either one shared [1, n] uniform set or per-positive rejection-filtered
+    negatives. Single implementation shared by DeviceSampler,
+    MeshDeviceSampler's shard_map body, and the fused train blocks
+    (fused_train.py) — any change to sampling semantics lands in all of
+    them at once (they pin block==per-step trajectory parity)."""
+    pos = jnp.take(triples, idx_row, axis=0)  # [B, 3]
+    weight = jnp.take(weights, idx_row)  # [B]
+    if shared:
+        neg = jax.random.randint(key, (1, n), 0, nentity, dtype=jnp.int32)
+        return pos, neg, weight
+    if mode == TAIL_BATCH:
+        qk = pos[:, 0] * nrelation + pos[:, 1]
+    else:
+        qk = pos[:, 1] * nentity + pos[:, 2]
+    member = functools.partial(
+        csr_member, csr["offsets"], csr["counts"], csr["values"], k_max
+    )
+    neg = rejection_negatives(key, qk, member, n, nentity)
+    return pos, neg, weight
+
+
 class _DeviceCSR:
     """Device-resident CSR over a dense composite-key space: for key k the
     true values are ``values[offsets[k] : offsets[k] + counts[k]]``."""
@@ -258,21 +282,17 @@ class DeviceSampler:
     # ---- device side: the whole sampling pipeline, jitted ----
     @staticmethod
     def _sample_impl(self, rng: jax.Array, idx: jnp.ndarray):
-        pos = jnp.take(self.triples, idx, axis=0)  # [B, 3]
-        weight = jnp.take(self.weights, idx)  # [B]
-        if self.negative_sharing == "batch":
-            neg = jax.random.randint(
-                rng, (1, self.n), 0, self.nentity, dtype=jnp.int32
-            )
-            return pos, neg, weight
-
-        if self.mode == TAIL_BATCH:
-            qk = pos[:, 0] * self.nrelation + pos[:, 1]
-        else:
-            qk = pos[:, 1] * self.nentity + pos[:, 2]
-        neg = rejection_negatives(rng, qk, self.csr.member, self.n,
-                                  self.nentity)
-        return pos, neg, weight
+        shared = self.negative_sharing == "batch"
+        csr = (None if shared else {
+            "offsets": self.csr.offsets, "counts": self.csr.counts,
+            "values": self.csr.values,
+        })
+        return sample_batch(
+            self.triples, self.weights, csr,
+            0 if shared else self.csr.k_max, rng, idx, self.mode,
+            nentity=self.nentity, nrelation=self.nrelation, n=self.n,
+            shared=shared,
+        )
 
     def next_batch(self):
         self._key, sub = jax.random.split(self._key)
@@ -504,27 +524,24 @@ def _mesh_sample(state, step, idx, *, mesh, mode, nentity, nrelation, n,
     the keyword configuration is baked via functools.partial)."""
     from jax.sharding import PartitionSpec as P
 
+    shared = negative_sharing == "batch"
+
     def per_device(state, step, idx_local):
-        pos = jnp.take(state["triples"], idx_local, axis=0)  # [Bl, 3]
-        weight = jnp.take(state["weights"], idx_local)  # [Bl]
         base = jax.random.fold_in(jax.random.PRNGKey(seed), step)
-        if negative_sharing == "batch":
-            # un-folded key: the identical [1, n] set on every device — the
-            # replicated out_spec is satisfied by construction
-            neg = jax.random.randint(base, (1, n), 0, nentity,
-                                     dtype=jnp.int32)
-            return pos, neg, weight
-        dev_key = jax.random.fold_in(base, jax.lax.axis_index("data"))
-        if mode == TAIL_BATCH:
-            qk = pos[:, 0] * nrelation + pos[:, 1]
-        else:
-            qk = pos[:, 1] * nentity + pos[:, 2]
-        member = functools.partial(
-            csr_member, state["offsets"], state["counts"], state["values"],
-            k_max,
+        # shared negatives use the UN-folded key: the identical [1, n] set
+        # on every device, satisfying the replicated out_spec by
+        # construction; per-positive draws fold in the mesh position for
+        # independent per-device streams
+        key = (base if shared
+               else jax.random.fold_in(base, jax.lax.axis_index("data")))
+        csr = None if shared else {
+            "offsets": state["offsets"], "counts": state["counts"],
+            "values": state["values"],
+        }
+        return sample_batch(
+            state["triples"], state["weights"], csr, k_max, key, idx_local,
+            mode, nentity=nentity, nrelation=nrelation, n=n, shared=shared,
         )
-        neg = rejection_negatives(dev_key, qk, member, n, nentity)
-        return pos, neg, weight
 
     neg_spec = P(None, None) if negative_sharing == "batch" else P("data", None)
     return jax.shard_map(

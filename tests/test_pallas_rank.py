@@ -151,3 +151,30 @@ def test_scanned_pallas_driver_matches_per_batch():
             mask = dev_filter.mask_rows(stack[i], mode, width=chunk_pad)
             per_batch.append(np.asarray(ranker.ranks(stack[i], mask, mode)))
         np.testing.assert_array_equal(scanned, np.concatenate(per_batch))
+
+
+def test_ranker_cache_released_when_table_dies():
+    """When training replaces the params buffer, the weakref DEATH CALLBACK
+    must drop the cached ranker immediately — otherwise its ~1 GB padded
+    table stays pinned in HBM until the next evaluation (r2 review)."""
+    import gc
+    import weakref as wr
+
+    spec = ModelSpec(
+        model_name="TransE", nentity=40, nrelation=3, hidden_dim=16, gamma=6.0,
+    )
+    rng = np.random.default_rng(2)
+    r = spec.embedding_range
+    params = {
+        "entity_embedding": jnp.asarray(
+            rng.uniform(-r, r, (40, spec.entity_dim)).astype(np.float32)),
+        "relation_embedding": jnp.asarray(
+            rng.uniform(-r, r, (3, spec.relation_dim)).astype(np.float32)),
+    }
+    ranker = eval_mod.get_pallas_ranker(params, spec)
+    ranker_ref = wr.ref(ranker)
+    assert eval_mod._pallas_ranker_cache is not None
+    del params, ranker  # last strong refs to the table die ("training step")
+    gc.collect()
+    assert eval_mod._pallas_ranker_cache is None
+    assert ranker_ref() is None  # padded table freed with the ranker

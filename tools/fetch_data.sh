@@ -8,11 +8,17 @@
 # see data/README.md). This script reproduces that tree on any networked
 # machine so every best_config.sh line runs unchanged.
 #
-# Integrity: the archive sha256 is recorded into tools/data.sha256.lock on
-# first fetch and checked on every later one, and each extracted dataset is
-# validated against the published vocabulary/triple counts (reference
-# README results table context; data/README.md) — a truncated download or
-# re-pointed URL fails loudly.
+# Integrity: the AUTHORITATIVE check is the published per-dataset
+# vocabulary/triple count validation below (data/README.md) — a truncated
+# download or re-pointed URL fails it loudly. The archive sha256 recorded
+# into tools/data.sha256.lock on first fetch is ADVISORY for the default
+# branch-archive URLs (refs/heads/master is a moving target: any upstream
+# commit — or a GitHub tarball-compression change — legitimately changes
+# the hash); a mismatch warns and defers to the count validation. For true
+# lockfile semantics pin an immutable commit archive and opt into strict
+# mode:
+#   KGE_DATA_URL="https://github.com/<owner>/KnowledgeGraphEmbedding/archive/<commit>.tar.gz" \
+#   FETCH_STRICT=1 tools/fetch_data.sh
 #
 # Usage:  tools/fetch_data.sh [DEST_DIR]             (default: <repo>/data)
 #         tools/fetch_data.sh --validate-only [DIR]  (no network: check an
@@ -31,9 +37,11 @@ LOCK="$REPO_ROOT/tools/data.sha256.lock"
 WORK="$(mktemp -d)"
 trap 'rm -rf "$WORK"' EXIT
 
-# Canonical sources, in preference order: the reference fork, then the
-# upstream RotatE repository it forked (identical data/ tree).
+# Canonical sources, in preference order: a user-pinned URL (commit
+# archives recommended), then the reference fork, then the upstream RotatE
+# repository it forked (identical data/ tree).
 URLS=(
+  ${KGE_DATA_URL:+"$KGE_DATA_URL"}
   "https://github.com/kahrabian/KnowledgeGraphEmbedding/archive/refs/heads/master.tar.gz"
   "https://github.com/DeepGraphLearning/KnowledgeGraphEmbedding/archive/refs/heads/master.tar.gz"
 )
@@ -56,13 +64,20 @@ SHA="$(sha256sum "$ARCHIVE" | cut -d' ' -f1)"
 if [ -f "$LOCK" ] && grep -q "^$fetched " "$LOCK"; then
   WANT="$(grep "^$fetched " "$LOCK" | awk '{print $2}')"
   if [ "$SHA" != "$WANT" ]; then
-    echo "!! sha256 mismatch for $fetched" >&2
+    echo "!! sha256 differs from lockfile for $fetched" >&2
     echo "   locked:  $WANT" >&2
     echo "   fetched: $SHA" >&2
-    echo "   (upstream moved or download corrupted; delete $LOCK to re-pin)" >&2
-    exit 1
+    if [ "${FETCH_STRICT:-0}" = 1 ]; then
+      echo "   FETCH_STRICT=1: aborting" >&2
+      exit 1
+    fi
+    echo "   (branch archives move with upstream commits; continuing —" >&2
+    echo "    the per-dataset count validation below is authoritative;" >&2
+    echo "    update $LOCK to silence, or pin KGE_DATA_URL to a commit" >&2
+    echo "    archive with FETCH_STRICT=1 for hard pinning)" >&2
+  else
+    echo ">> sha256 matches lockfile"
   fi
-  echo ">> sha256 matches lockfile"
 else
   echo "$fetched $SHA" >> "$LOCK"
   echo ">> recorded sha256 into ${LOCK#$REPO_ROOT/} (commit this)"
