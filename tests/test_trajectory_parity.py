@@ -219,3 +219,117 @@ def test_f64_exact_trajectory_parity(pipeline):
     for k in ("MRR", "HITS@1", "HITS@3", "HITS@10"):
         assert abs(j_metrics[k] - t_metrics[k]) <= 0.002, (
             k, j_metrics[k], t_metrics[k])
+
+
+MODEL_VARIANTS = [
+    # (model, de, dr, adv, uni_weight, reg) — each exercises a different
+    # loss-variant INTERACTION against the torch reference: L3 whole-table
+    # regularization, uniform weighting, the trainable pRotatE modulus
+    ("TransE", False, False, False, False, 0.0),
+    ("DistMult", False, False, False, True, 1e-5),
+    ("ComplEx", True, True, True, False, 2e-6),
+    ("pRotatE", False, False, True, False, 0.0),
+]
+
+
+@pytest.mark.parametrize("model,de,dr,adv,uni,reg", MODEL_VARIANTS)
+def test_f64_exact_all_models(pipeline, model, de, dr, adv, uni, reg):
+    """The f64-exact trajectory guarantee for the other four model families
+    (and the loss variants the RotatE leg doesn't touch): 200 steps through
+    the mid-run decay, identical stream, params ~1e-12, MRR within ±0.002."""
+    ds, filters, _, batches, _ = pipeline
+    spec = ModelSpec(
+        model_name=model, nentity=ds.nentity, nrelation=ds.nrelation,
+        hidden_dim=D, gamma=G, double_entity_embedding=de,
+        double_relation_embedding=dr,
+    )
+    steps, warm_up, lr = 200, 100, LR
+    p0 = kge.init_params(spec, jax.random.PRNGKey(SEED))
+
+    # --- torch double reference (oracle loss + torch.optim.Adam) ---
+    ent = torch.tensor(np.array(p0["entity_embedding"]), dtype=torch.float64,
+                       requires_grad=True)
+    rel = torch.tensor(np.array(p0["relation_embedding"]), dtype=torch.float64,
+                       requires_grad=True)
+    leaves = [ent, rel]
+    modulus = None
+    if spec.has_modulus:
+        modulus = torch.tensor(float(p0["modulus"]), dtype=torch.float64,
+                               requires_grad=True)
+        leaves.append(modulus)
+    opt = torch.optim.Adam(leaves, lr=lr)
+    w_up, cur_lr = warm_up, lr
+    t_losses = []
+    for step in range(steps):
+        pos, neg, w, mode = batches[step]
+        loss, _, _ = oracle.loss_fn(
+            ent, rel, torch.from_numpy(np.asarray(pos, np.int64)),
+            torch.from_numpy(np.asarray(neg, np.int64)),
+            torch.from_numpy(np.asarray(w)).to(torch.float64), mode, model,
+            G, spec.embedding_range, modulus=modulus, adv=adv, adv_temp=1.0,
+            uni_weight=uni, regularization=reg)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        t_losses.append(float(loss.detach()))
+        if step >= w_up:
+            cur_lr /= 10.0
+            opt = torch.optim.Adam(leaves, lr=cur_lr)
+            w_up *= 3
+
+    # --- JAX f64 through the jitted Trainer ---
+    jax.config.update("jax_enable_x64", True)
+    try:
+        from knowledgegraphembedding_tpu import eval as eval_mod
+        from knowledgegraphembedding_tpu.train import Trainer
+        import jax.numpy as jnp
+
+        p64 = {k: np.asarray(v, np.float64) for k, v in p0.items()}
+        tspec = TrainSpec(
+            negative_sample_size=N, negative_adversarial_sampling=adv,
+            adversarial_temperature=1.0, uni_weight=uni, regularization=reg,
+            scoring="gather",  # the oracle's form; dense is pinned elsewhere
+        )
+        trainer = Trainer(spec, tspec, p64, lr=lr, warm_up_steps=warm_up)
+        j_losses = []
+        for step in range(steps):
+            pos, neg, w, mode = batches[step]
+            logs = trainer.one_step((
+                jnp.asarray(pos), jnp.asarray(neg),
+                jnp.asarray(np.asarray(w, np.float64)), mode,
+            ))
+            j_losses.append(float(logs["loss"]))
+        np.testing.assert_allclose(j_losses, t_losses, rtol=0, atol=1e-9)
+        if spec.has_modulus:
+            np.testing.assert_allclose(
+                float(trainer.params["modulus"]), float(modulus.detach()),
+                rtol=0, atol=1e-12)
+        j_metrics = eval_mod.test_step(
+            trainer.params, spec, ds.test, filters,
+            test_batch_size=32, eval_chunk_size=64,
+            use_pallas=False, device_filter=False,
+        )
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+    t_ranks = []
+    with torch.no_grad():
+        E = spec.nentity
+        for mode in ("head-batch", "tail-batch"):
+            for i in range(0, len(ds.test), 32):
+                posn = np.asarray(ds.test[i:i + 32], np.int64)
+                pos_t = torch.from_numpy(posn)
+                negs = torch.arange(E).unsqueeze(0).expand(len(pos_t), E)
+                scores = oracle.forward(ent, rel, pos_t, negs, mode, model,
+                                        G, spec.embedding_range,
+                                        modulus=modulus)
+                true = pos_t[:, 0] if mode == "head-batch" else pos_t[:, 2]
+                true_score = scores.gather(1, true[:, None])
+                mask = filters.filter_mask_rows(posn.astype(np.int32), mode)[:, :E]
+                beats = ((scores > true_score) & ~torch.from_numpy(mask)
+                         & (torch.arange(E)[None, :] != true[:, None]))
+                t_ranks.extend((beats.sum(1) + 1).tolist())
+    t_metrics = metrics_of(np.asarray(t_ranks, np.float64))
+    for k in ("MRR", "HITS@1", "HITS@3", "HITS@10"):
+        assert abs(j_metrics[k] - t_metrics[k]) <= 0.002, (
+            model, k, j_metrics[k], t_metrics[k])
