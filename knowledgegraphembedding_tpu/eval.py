@@ -44,6 +44,10 @@ def _cdiv(a: int, b: int) -> int:
 _unstack = jax.jit(lambda s: tuple(s))
 _concat = jax.jit(lambda *rs: jnp.concatenate(rs))
 _GROUP = 256
+# scan-driver chunk: batches per compiled eval dispatch (see test_step) —
+# large enough that dispatch overhead is amortized (~32 x 5 ms kernels per
+# enqueue), small enough that one executable shape covers every eval size
+_SCAN_CHUNK = 32
 
 
 def _unstack_bounded(stacked) -> list:
@@ -458,20 +462,27 @@ def test_step(
         trip_stack = jnp.asarray(trip).reshape(-1, eff_batch, 3)
         nb = trip_stack.shape[0]
         width = max(chunk_pad, spec.nentity + 1)
+        # Fixed-size scan chunks: ONE compiled program (shape [SC, B, 3])
+        # serves every eval-set size — valid, test, evaluate_train, every
+        # periodic validation — instead of one multi-minute XLA compile per
+        # distinct batch count; pad batches repeat the last batch and their
+        # ranks are dropped below. test_log_steps (when smaller) still
+        # bounds the dispatch so the reference's progress cadence holds.
+        SC = min(nb, _SCAN_CHUNK, test_log_steps)
+        n_scan = _cdiv(nb, SC) * SC
+        if n_scan != nb:
+            trip_stack = jnp.concatenate(
+                [trip_stack, jnp.repeat(trip_stack[-1:], n_scan - nb, axis=0)]
+            )
 
         device_ranks: List[jnp.ndarray] = []
-        # ONE scanned dispatch ranks up to test_log_steps batches (mask
-        # build + rank fused, see _eval_scan_* above); the reference's
-        # progress cadence (codes/model.py §test_step ≈L380) falls out of
-        # the chunking — with the default test_log_steps=1000 a whole mode
-        # is one dispatch
         for mode in modes:
             offsets, counts, values, k_max = dev_filter._modes[mode]
-            for s in range(0, nb, test_log_steps):
-                # slicing is itself a device op — skip it when one window
-                # covers the whole stack (the common default)
-                sub = (trip_stack if test_log_steps >= nb
-                       else trip_stack[s: s + test_log_steps])
+            last_logged = 0
+            for s in range(0, n_scan, SC):
+                # slicing is itself a device op — skip it when one chunk
+                # covers the whole stack
+                sub = trip_stack if n_scan == SC else trip_stack[s: s + SC]
                 if ranker is not None:
                     r = _eval_scan_pallas(
                         ranker.table, ranker.rel, ranker.modulus,
@@ -487,14 +498,18 @@ def test_step(
                         mode=mode, chunk=chunk, k_max=k_max, width=width,
                     )
                 device_ranks.append(r.reshape(-1))
-                done = (min((s + test_log_steps), nb) * eff_batch
-                        if s + test_log_steps < nb else n_pad)
-                done = min(done, n_real) + n_real * modes.index(mode)
-                if logger is not None:
+                done_b = min(s + SC, nb)
+                if logger is not None and (
+                    done_b // test_log_steps > last_logged // test_log_steps
+                    or done_b == nb
+                ):
+                    last_logged = done_b
+                    done = (min(done_b * eff_batch, n_real)
+                            + n_real * modes.index(mode))
                     logger.info("Evaluating the model... (%d/%d)", done, total)
         per_mode = np.asarray(
             _concat_bounded(device_ranks)  # the ONE pull
-        ).reshape(len(modes), n_pad)[:, :n_real]
+        ).reshape(len(modes), n_scan * eff_batch)[:, :n_real]
         for ranks in per_mode:
             logs.extend(metrics_from_ranks(ranks))
         return {k: float(np.mean([lg[k] for lg in logs])) for k in logs[0]}

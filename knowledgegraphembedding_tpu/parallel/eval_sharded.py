@@ -251,6 +251,16 @@ def sharded_test_step(
                 [trip, np.repeat(trip[-1:], n_pad - n_real, axis=0)]
             )
         stacked = trip.reshape(-1, test_batch_size, 3)
+        # fixed-size scan chunks (host-side pad BEFORE placement): one
+        # compiled executable shape covers every eval-set size (see
+        # eval._SCAN_CHUNK)
+        nb = stacked.shape[0]
+        SC = min(nb, eval_mod._SCAN_CHUNK)
+        n_scan = -(-nb // SC) * SC
+        if n_scan != nb:
+            stacked = np.concatenate(
+                [stacked, np.repeat(stacked[-1:], n_scan - nb, axis=0)]
+            )
         if multi:
             from ..sampler.device_sampler import _place_replicated
 
@@ -260,19 +270,21 @@ def sharded_test_step(
 
     logs = []
     if dev_filter is not None:
-        # ONE scanned dispatch per mode (mask build + SPMD ranks fused);
+        # scanned dispatches per mode (mask build + SPMD ranks fused);
         # per-batch dispatches were call-latency-bound (BENCH_NOTES.md)
         width = max(Epad, spec.nentity + 1)
         per_mode_ranks = []
         for mode in modes:
             offsets, counts, values, k_max = dev_filter._modes[mode]
             fn = get_sharded_scan_fn(spec, mesh, mode, k_max, width, Epad)
-            per_mode_ranks.append(
-                fn(params, offsets, counts, values, stacked).reshape(-1)
-            )
+            for s in range(0, n_scan, SC):
+                sub = stacked if n_scan == SC else stacked[s: s + SC]
+                per_mode_ranks.append(
+                    fn(params, offsets, counts, values, sub).reshape(-1)
+                )
         per_mode = np.asarray(
             eval_mod._concat_bounded(per_mode_ranks)
-        ).reshape(len(modes), -1)[:, :n_real]
+        ).reshape(len(modes), n_scan * test_batch_size)[:, :n_real]
         for ranks in per_mode:
             logs.extend(eval_mod.metrics_from_ranks(ranks))
         return {k: float(np.mean([lg[k] for lg in logs])) for k in logs[0]}
