@@ -102,6 +102,13 @@ def parse_args(argv=None) -> RunConfig:
                    choices=["none", "batch"],
                    help="'batch' shares one negative set across the batch "
                         "(PBG-style, unfiltered) — the high-throughput mode")
+    p.add_argument("--async_checkpoint", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="write periodic checkpoints from a background "
+                        "thread after a device-side state snapshot "
+                        "(identical artifacts, zero train-loop stall; "
+                        "single-device trainers — mesh/multi-host saves "
+                        "stay synchronous)")
     p.add_argument("--steps_per_dispatch", type=int, default=1,
                    help=">1 fuses k whole train steps (device sampling + "
                         "update) into ONE compiled dispatch — removes all "
@@ -335,6 +342,7 @@ def main(argv=None) -> dict:
         logging.info("learning_rate = %f", trainer.current_learning_rate)
         _run_fused_training(trainer, config, ds, filters, eval_mod, ckpt_mod)
         ckpt_mod.save_model(trainer, config, config.save_path)
+        ckpt_mod.wait_for_pending_save()
     elif config.do_train:
         logging.info("learning_rate = %f", trainer.current_learning_rate)
         sampler_backend = config.sampler_backend
@@ -494,7 +502,8 @@ def main(argv=None) -> dict:
                             "checkpoint save — aborting without persisting "
                             "corrupted state; use --spmd_mode shardmap"
                         )
-                ckpt_mod.save_model(trainer, config, config.save_path)
+                ckpt_mod.save_model(trainer, config, config.save_path,
+                                    asynchronous=config.async_checkpoint)
 
             if (step + 1) % config.log_steps == 0:
                 sums = np.asarray(log_acc)  # the one device sync per window
@@ -523,6 +532,7 @@ def main(argv=None) -> dict:
         profile_ctx.__exit__(None, None, None)
         it.close()
         ckpt_mod.save_model(trainer, config, config.save_path)
+        ckpt_mod.wait_for_pending_save()
 
     if config.do_valid:
         logging.info("Evaluating on Valid Dataset...")
@@ -583,7 +593,8 @@ def _run_fused_training(trainer, config, ds, filters, eval_mod, ckpt_mod):
 
         step = trainer.step - 1  # last completed step
         if (step + 1) % config.save_checkpoint_steps == 0:
-            ckpt_mod.save_model(trainer, config, config.save_path)
+            ckpt_mod.save_model(trainer, config, config.save_path,
+                                asynchronous=config.async_checkpoint)
         if (step + 1) % config.log_steps == 0:
             sums = np.asarray(log_acc)  # the one device sync per window
             metrics = {kk: float(s) / n_since for kk, s in zip(log_keys, sums)}

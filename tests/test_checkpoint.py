@@ -94,3 +94,50 @@ def test_npy_exports_and_config(tmp_path):
     assert cfg2.hidden_dim == 8
     assert cfg2.test_batch_size == 7
     assert cfg2.data_path == "data/whatever"
+
+
+def test_async_save_bit_identical_and_donation_safe(tmp_path):
+    """Async checkpoint (r2): the device-side snapshot + background write
+    must produce BIT-identical artifacts to a synchronous save at the same
+    step, and training continuing (donating the live buffers) while the
+    write is in flight must not corrupt it."""
+    from knowledgegraphembedding_tpu.cli import parse_args
+    from knowledgegraphembedding_tpu.data.synthetic import make_clustered_kg
+    from knowledgegraphembedding_tpu.sampler import build_train_iterator
+
+    ds = make_clustered_kg(n_clusters=4, entities_per_cluster=6, nrelation=2, seed=2)
+    spec = ModelSpec(model_name="RotatE", nentity=ds.nentity,
+                     nrelation=ds.nrelation, hidden_dim=8, gamma=6.0,
+                     double_entity_embedding=True)
+    tspec = TrainSpec(negative_sample_size=4, batch_size=16)
+    filters = FilterSets.build(ds.train, ds.all_true_triples, ds.nentity, ds.nrelation)
+    trainer = Trainer(spec, tspec, kge.init_params(spec, jax.random.PRNGKey(0)),
+                      lr=1e-2, warm_up_steps=10**9)
+    it = build_train_iterator(ds.train, ds.nentity, ds.nrelation, 16, 4,
+                              filters, prefetch_depth=0)
+    for _ in range(5):
+        pos, neg, w, mode = next(it)
+        trainer.one_step((jnp.asarray(pos), jnp.asarray(neg), jnp.asarray(w), mode))
+
+    config = parse_args(["--do_train", "--data_path", "x", "-save", "y",
+                         "--model", "RotatE", "-de", "-d", "8"])
+    sync_dir, async_dir = str(tmp_path / "sync"), str(tmp_path / "async")
+    ckpt.save_model(trainer, config, sync_dir)  # synchronous baseline
+    ckpt.save_model(trainer, config, async_dir, asynchronous=True)
+    # keep training IMMEDIATELY — donates the buffers the snapshot copied
+    for _ in range(5):
+        pos, neg, w, mode = next(it)
+        trainer.one_step((jnp.asarray(pos), jnp.asarray(neg), jnp.asarray(w), mode))
+    it.close()
+    ckpt.wait_for_pending_save()
+
+    za = np.load(os.path.join(sync_dir, "checkpoint.npz"))
+    zb = np.load(os.path.join(async_dir, "checkpoint.npz"))
+    assert set(za.files) == set(zb.files)
+    for k in za.files:
+        np.testing.assert_array_equal(za[k], zb[k], err_msg=k)
+    # resume from the async checkpoint works
+    t2 = Trainer(spec, tspec, kge.init_params(spec, jax.random.PRNGKey(1)),
+                 lr=1e-2, warm_up_steps=10**9)
+    ckpt.restore_trainer(t2, async_dir)
+    assert t2.step == 5
