@@ -27,14 +27,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-# persistent compile cache (same dir as the CLI): the driver runs this
-# script in a fresh process every round — skip recompiling unchanged steps
-if jax.config.jax_compilation_cache_dir is None:
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.expanduser("~/.cache/kge_tpu_jax"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# persistent compile cache (same dir as the CLI — one shared helper): the
+# driver runs this script in a fresh process every round
+from knowledgegraphembedding_tpu.utils import compile_cache
+
+compile_cache.enable()
 
 
 def _measure_train(model="RotatE", scoring="auto", precision="f32",

@@ -84,12 +84,15 @@ def override_config(config: RunConfig) -> RunConfig:
     return config
 
 
-def _flatten_state(trainer: Trainer) -> dict:
-    params, opt_state = trainer.checkpoint_state()
+def _flatten(params, opt_state: AdamState, step: int, lr: float,
+             warm_up_steps: int) -> dict:
+    """THE checkpoint key layout — single implementation shared by the
+    synchronous and the async-writer paths, so the two serializers can
+    never drift apart."""
     arrays = {
-        "step": np.int64(trainer.step),
-        "current_learning_rate": np.float64(trainer.current_learning_rate),
-        "warm_up_steps": np.int64(trainer.warm_up_steps),
+        "step": np.int64(step),
+        "current_learning_rate": np.float64(lr),
+        "warm_up_steps": np.int64(warm_up_steps),
         "adam_count": np.asarray(opt_state.count),
     }
     for name, val in params.items():
@@ -101,16 +104,30 @@ def _flatten_state(trainer: Trainer) -> dict:
     return arrays
 
 
+def _flatten_state(trainer: Trainer) -> dict:
+    params, opt_state = trainer.checkpoint_state()
+    return _flatten(params, opt_state, trainer.step,
+                    trainer.current_learning_rate, trainer.warm_up_steps)
+
+
 # at most one save in flight; the next save (or interpreter exit, or an
 # explicit wait) joins it first, so artifacts are always written in order
 _pending_save: Optional[threading.Thread] = None
+_pending_error: Optional[BaseException] = None
 
 
 def wait_for_pending_save() -> None:
-    global _pending_save
+    """Join any in-flight background save and RE-RAISE its failure: a
+    swallowed ENOSPC/permission error would let training run for hours
+    believing checkpoints exist — the exact failure mode checkpoints are
+    for."""
+    global _pending_save, _pending_error
     if _pending_save is not None:
         _pending_save.join()
         _pending_save = None
+    if _pending_error is not None:
+        err, _pending_error = _pending_error, None
+        raise RuntimeError("background checkpoint write failed") from err
 
 
 atexit.register(wait_for_pending_save)
@@ -154,7 +171,7 @@ def save_model(trainer: Trainer, config: RunConfig, save_path: str,
     use_async = (
         asynchronous
         and jax.process_count() == 1
-        and type(trainer).checkpoint_state is Trainer.checkpoint_state
+        and getattr(trainer, "supports_async_checkpoint", False)
     )
     if not use_async:
         arrays = _flatten_state(trainer)
@@ -168,21 +185,18 @@ def save_model(trainer: Trainer, config: RunConfig, save_path: str,
     params, opt_state = trainer.checkpoint_state()
     snap_p = jax.tree.map(jnp.copy, params)
     snap_o = jax.tree.map(jnp.copy, opt_state)
-    head = {
-        "step": np.int64(trainer.step),
-        "current_learning_rate": np.float64(trainer.current_learning_rate),
-        "warm_up_steps": np.int64(trainer.warm_up_steps),
-    }
+    step, lr = trainer.step, trainer.current_learning_rate
+    warm_up = trainer.warm_up_steps
 
     def _write():
-        arrays = dict(head, adam_count=np.asarray(snap_o.count))
-        for name, val in snap_p.items():
-            arrays[f"param.{name}"] = np.asarray(val)
-        for name, val in snap_o.m.items():
-            arrays[f"adam_m.{name}"] = np.asarray(val)
-        for name, val in snap_o.v.items():
-            arrays[f"adam_v.{name}"] = np.asarray(val)
-        _write_artifacts(arrays, config, save_path)
+        global _pending_error
+        try:
+            _write_artifacts(
+                _flatten(snap_p, snap_o, step, lr, warm_up),
+                config, save_path,
+            )
+        except BaseException as e:  # surfaced by wait_for_pending_save
+            _pending_error = e
 
     global _pending_save
     _pending_save = threading.Thread(target=_write, name="kge-ckpt-writer")

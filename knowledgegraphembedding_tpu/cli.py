@@ -146,12 +146,9 @@ def main(argv=None) -> dict:
     # Persistent compilation cache: every CLI invocation is a fresh process,
     # and on a remote-dispatch TPU runtime each jit compile costs tens of
     # seconds — cache compiled executables across runs.
-    if jax.config.jax_compilation_cache_dir is None:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.path.expanduser("~/.cache/kge_tpu_jax"),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from .utils import compile_cache
+
+    compile_cache.enable()
 
     config = parse_args(argv)
     if config.platform != "auto":

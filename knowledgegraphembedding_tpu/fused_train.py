@@ -311,6 +311,8 @@ class FusedMeshTrainer:
         self._idx_sharding = NamedSharding(mesh, P(None, "data"))
         self._block_cache: dict = {}
 
+    supports_async_checkpoint = False  # state gather is a collective
+
     # --- ShardedTrainer-compatible checkpoint surface ---
     host_params = None  # bound below to the ShardedTrainer implementations
 

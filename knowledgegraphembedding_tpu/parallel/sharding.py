@@ -219,6 +219,8 @@ class ShardedTrainer:
     row-sharded and the batch data-parallel. Keeps one compiled program per
     (mode) thanks to the runtime-scalar learning rate."""
 
+    supports_async_checkpoint = False  # state gather is a collective
+
     def __init__(self, spec: ModelSpec, tspec: TrainSpec, params, lr: float,
                  warm_up_steps: int, mesh: Mesh, init_step: int = 0,
                  shared_negatives: bool = False, spmd_mode: str = "gspmd"):

@@ -103,6 +103,12 @@ class Trainer:
     """Host-side loop state: step counter, LR schedule with Adam reset,
     log accumulation. The analogue of codes/run.py §main's train loop."""
 
+    #: checkpoint_state() is a cheap local (params, opt_state) read — safe
+    #: to snapshot on-device and write from a background thread
+    #: (checkpoint.py §save_model). Mesh trainers set False: their state
+    #: gather is a collective every process must join synchronously.
+    supports_async_checkpoint = True
+
     def __init__(self, spec: ModelSpec, tspec: TrainSpec, params, lr: float,
                  warm_up_steps: int, init_step: int = 0):
         self.spec = spec

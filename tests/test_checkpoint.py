@@ -141,3 +141,23 @@ def test_async_save_bit_identical_and_donation_safe(tmp_path):
                  lr=1e-2, warm_up_steps=10**9)
     ckpt.restore_trainer(t2, async_dir)
     assert t2.step == 5
+
+
+def test_async_save_failure_surfaces(tmp_path):
+    """A failed background write (disk full / bad path) must RAISE at the
+    next wait/save, not vanish in the thread (r2 review)."""
+    from knowledgegraphembedding_tpu.cli import parse_args
+
+    _, spec, tspec, _ = setup()
+    trainer = Trainer(spec, tspec, kge.init_params(spec, jax.random.PRNGKey(0)),
+                      lr=1e-2, warm_up_steps=10**9)
+    config = parse_args(["--do_train", "--data_path", "x", "-save", "y"])
+    bad = os.path.join(str(tmp_path / "blocker"))
+    open(bad, "w").close()  # a FILE where a directory is needed
+    ckpt.save_model(trainer, config, os.path.join(bad, "sub"),
+                    asynchronous=True)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="background checkpoint write"):
+        ckpt.wait_for_pending_save()
+    ckpt.wait_for_pending_save()  # error consumed; next wait is clean
