@@ -250,11 +250,21 @@ def main(argv=None) -> dict:
         if config.do_train and config.steps_per_dispatch > 1:
             from .fused_train import FusedMeshTrainer
 
-            if config.spmd_mode != "shardmap":
+            if config.spmd_mode == "routed":
                 raise ValueError(
                     "--steps_per_dispatch > 1 on a mesh fuses the "
-                    "hand-scheduled collective step; use --spmd_mode "
-                    f"shardmap (got {config.spmd_mode!r})"
+                    "hand-scheduled table-gather step; the routed "
+                    "all_to_all schedule has no fused variant — use "
+                    "--spmd_mode shardmap/gspmd or per-step training"
+                )
+            if config.spmd_mode == "gspmd":
+                # fused mesh blocks always run the explicit
+                # all_gather/psum_scatter schedule — numerically equal to
+                # gspmd (trajectory parity pinned by tests/test_shard_map.py
+                # and test_cli.py::test_sharded_cli_flow)
+                logging.info(
+                    "fused mesh blocks use the hand-scheduled collective "
+                    "schedule (equivalent to gspmd; parity-pinned)"
                 )
             if config.sampler_backend not in ("auto", "device"):
                 raise ValueError(

@@ -190,3 +190,27 @@ def test_cli_mesh_fused_flow(tmp_path):
     # resumable single-process (padding-stripped checkpoint)
     metrics2 = cli.main(["--do_test", "-init", save_dir, "--eval_chunk_size", "16"])
     assert abs(metrics2["test"]["MRR"] - metrics["test"]["MRR"]) < 1e-5
+
+
+def test_cli_mesh_fused_default_gspmd_mode(tmp_path):
+    """Default --spmd_mode (gspmd) + --steps_per_dispatch on a mesh routes
+    to the fused hand-scheduled program (parity-equal) instead of erroring;
+    routed still rejects."""
+    ds = make_clustered_kg(n_clusters=4, entities_per_cluster=7, nrelation=2, seed=5)
+    data_dir, save_dir = str(tmp_path / "data"), str(tmp_path / "save")
+    save_dataset(ds, data_dir)
+    metrics = cli.main([
+        "--do_train", "--do_test", "--data_path", data_dir, "--model",
+        "RotatE", "-de", "-n", "8", "-b", "32", "-d", "8", "-g", "4.0",
+        "-adv", "-lr", "0.01", "--max_steps", "40", "--log_steps", "20",
+        "--test_batch_size", "4", "--num_shards", "2",
+        "--steps_per_dispatch", "8", "-save", save_dir,
+    ])
+    assert 0 < metrics["test"]["MRR"] <= 1
+    with pytest.raises(ValueError, match="routed"):
+        cli.main([
+            "--do_train", "--data_path", data_dir, "--model", "RotatE",
+            "-de", "-n", "8", "-b", "32", "-d", "8", "--max_steps", "10",
+            "--num_shards", "2", "--spmd_mode", "routed",
+            "--steps_per_dispatch", "8", "-save", str(tmp_path / "s2"),
+        ])
