@@ -32,7 +32,7 @@ SYNTHETIC: Dict[str, Callable[..., Dataset]] = {
         nentity=14541, nrelation=237, ntriples=272115,
         n_valid=1000, n_test=1000, **kw),
     "yago3-scale": lambda **kw: synthetic.make_random_kg(
-        nentity=123182, nrelation=37, ntriples=200000,
+        nentity=123182, nrelation=37, ntriples=1079040,
         n_valid=1000, n_test=1000, **kw),
 }
 

@@ -166,6 +166,76 @@ def sample_batch(triples, weights, csr, k_max: int, key, idx_row, mode: str,
     return pos, neg, weight
 
 
+def validate_key_space(nentity: int, nrelation: int,
+                       negative_sharing: str) -> None:
+    """Only the rejection-filtering CSR needs int32 composite keys; the
+    shared-negative mode draws unfiltered. One guard for every device
+    sampler variant."""
+    if (negative_sharing != "batch"
+            and int(nentity) * int(nrelation) >= 2**31):
+        raise ValueError(
+            "device sampler pair-key space exceeds int32 "
+            f"(E*R = {nentity * nrelation}); use a host sampler backend"
+        )
+
+
+def build_mode_csr(triples: np.ndarray, nentity: int, nrelation: int,
+                   mode: str):
+    """(offsets, counts, values, k_max) numpy arrays of the TRAIN-true
+    rejection CSR for one corruption mode — shared by the single-device and
+    mesh samplers. Guards against a key whose true set covers EVERY entity
+    (the jitted rejection while_loop could never terminate)."""
+    from ..data.filterset import TrueIndex, dense_key_arrays
+
+    h, r, t = triples[:, 0], triples[:, 1], triples[:, 2]
+    if mode == TAIL_BATCH:
+        keys, vals, n_keys = (
+            h.astype(np.int64) * nrelation + r, t, nentity * nrelation)
+    else:
+        keys, vals, n_keys = (
+            r.astype(np.int64) * nentity + t, h, nrelation * nentity)
+    uniq_pairs = np.unique(keys.astype(np.int64) * nentity + vals)
+    counts = np.unique(uniq_pairs // nentity, return_counts=True)[1]
+    if counts.size and counts.max() >= nentity:
+        raise ValueError(
+            "a positive's TRAIN-true partner set covers every entity "
+            f"— no valid negatives exist (mode={mode})"
+        )
+    idx = TrueIndex.build(keys.astype(np.int64), vals)
+    return dense_key_arrays(idx, n_keys, pad_value=nentity)
+
+
+class _EpochIndexStream:
+    """Host-side epoch permutation stream (the DataLoader(shuffle=True) +
+    infinite-iterator semantics of negative.py): draws ``count`` row
+    indices per call from reshuffled passes over the pool. ONE
+    implementation for the single-device and mesh samplers (multihost edge
+    partitioning = a subset pool)."""
+
+    def __init__(self, n_train: int, index_subset, seed: int, count: int):
+        self._pool = (
+            np.asarray(index_subset, np.int64)
+            if index_subset is not None
+            else np.arange(n_train, dtype=np.int64)
+        )
+        if len(self._pool) == 0:
+            raise ValueError("empty train-stream shard — nothing to sample")
+        self._order = np.empty(0, np.int64)
+        self._rng = np.random.default_rng(seed)
+        self._count = count
+
+    def next(self) -> np.ndarray:
+        while self._order.size < self._count:
+            self._order = np.concatenate(
+                [self._order, self._rng.permutation(self._pool)]
+            )
+        idx, self._order = (
+            self._order[: self._count],
+            self._order[self._count:],
+        )
+        return idx.astype(np.int32)
+
+
 class _DeviceCSR:
     """Device-resident CSR over a dense composite-key space: for key k the
     true values are ``values[offsets[k] : offsets[k] + counts[k]]``."""
@@ -181,6 +251,15 @@ class _DeviceCSR:
         self.values = jnp.asarray(values)
         self.offsets = jnp.asarray(offsets)
         self.counts = jnp.asarray(counts)
+
+    @classmethod
+    def from_arrays(cls, offsets, counts, values, k_max: int) -> "_DeviceCSR":
+        self = cls.__new__(cls)
+        self.offsets = jnp.asarray(offsets)
+        self.counts = jnp.asarray(counts)
+        self.values = jnp.asarray(values)
+        self.k_max = int(k_max)
+        return self
 
     def member(self, keys: jnp.ndarray, cand: jnp.ndarray) -> jnp.ndarray:
         return csr_member(self.offsets, self.counts, self.values, self.k_max,
@@ -204,13 +283,7 @@ class DeviceSampler:
         triples = np.asarray(triples, np.int32)
         if len(triples) == 0:
             raise ValueError("empty train split — nothing to sample")
-        if (negative_sharing != "batch"
-                and int(nentity) * int(nrelation) >= 2**31):
-            # only the rejection-filtering CSR needs int32 composite keys
-            raise ValueError(
-                "device sampler pair-key space exceeds int32 "
-                f"(E*R = {nentity * nrelation}); use a host sampler backend"
-            )
+        validate_key_space(nentity, nrelation, negative_sharing)
         self.mode = mode
         self.nentity = nentity
         self.nrelation = nrelation
@@ -218,12 +291,6 @@ class DeviceSampler:
         self.n = negative_sample_size
         self.negative_sharing = negative_sharing
         self.n_train = len(triples)
-
-        h, r, t = triples[:, 0], triples[:, 1], triples[:, 2]
-        if mode == TAIL_BATCH:
-            keys, vals, n_keys = h.astype(np.int64) * nrelation + r, t, nentity * nrelation
-        else:
-            keys, vals, n_keys = r.astype(np.int64) * nentity + t, h, nrelation * nentity
 
         # device-resident state; triples/weights are mode-independent and
         # shared between the head/tail samplers (one upload, one HBM copy)
@@ -235,33 +302,17 @@ class DeviceSampler:
 
         self.csr = None
         if negative_sharing != "batch":
-            # guard: a key whose true set covers EVERY entity has no valid
-            # negatives — the jitted rejection while_loop could never
-            # terminate. (Shared-negative mode draws unfiltered, so it
-            # needs neither the guard nor the dense CSR in HBM.)
-            uniq_pairs = np.unique(keys.astype(np.int64) * nentity + vals)
-            counts = np.unique(uniq_pairs // nentity, return_counts=True)[1]
-            if counts.size and counts.max() >= nentity:
-                raise ValueError(
-                    "a positive's TRAIN-true partner set covers every entity "
-                    f"— no valid negatives exist (mode={mode})"
-                )
-            self.csr = _DeviceCSR(keys.astype(np.int32), vals.astype(np.int32),
-                                  n_keys, sentinel=nentity)
+            self.csr = _DeviceCSR.from_arrays(
+                *build_mode_csr(triples, nentity, nrelation, mode)
+            )
 
         self._key = jax.random.PRNGKey(seed)
         # multihost edge partitioning: the host-side epoch permutation draws
         # only this host's row indices; the resident triples/weights/filter
         # CSR stay FULL-train (reference semantics, same as negative.py)
-        self._index_pool = (
-            np.asarray(index_subset, np.int64)
-            if index_subset is not None
-            else np.arange(self.n_train, dtype=np.int64)
+        self._stream = _EpochIndexStream(
+            self.n_train, index_subset, seed, batch_size
         )
-        if len(self._index_pool) == 0:
-            raise ValueError("empty train-stream shard — nothing to sample")
-        self._order = np.empty(0, np.int64)
-        self._rng = np.random.default_rng(seed)
         self._sample = jax.jit(
             functools.partial(self._sample_impl, self),
             static_argnums=(),
@@ -269,15 +320,7 @@ class DeviceSampler:
 
     # ---- host side: epoch permutation stream (tiny) ----
     def _next_indices(self) -> np.ndarray:
-        while self._order.size < self.batch_size:
-            self._order = np.concatenate(
-                [self._order, self._rng.permutation(self._index_pool)]
-            )
-        idx, self._order = (
-            self._order[: self.batch_size],
-            self._order[self.batch_size:],
-        )
-        return idx.astype(np.int32)
+        return self._stream.next()
 
     # ---- device side: the whole sampling pipeline, jitted ----
     @staticmethod
@@ -405,12 +448,7 @@ class MeshDeviceSampler:
             raise ValueError(
                 f"global batch {batch_size} not divisible by {n_proc} hosts"
             )
-        if (negative_sharing != "batch"
-                and int(nentity) * int(nrelation) >= 2**31):
-            raise ValueError(
-                "device sampler pair-key space exceeds int32 "
-                f"(E*R = {nentity * nrelation}); use a host sampler backend"
-            )
+        validate_key_space(nentity, nrelation, negative_sharing)
         self.mode = mode
         self.mesh = mesh
         self.nentity = nentity
@@ -433,25 +471,8 @@ class MeshDeviceSampler:
         self._mode_state = {}
         k_max = 0
         if negative_sharing != "batch":
-            h, r, t = triples[:, 0], triples[:, 1], triples[:, 2]
-            if mode == TAIL_BATCH:
-                keys, vals, n_keys = (
-                    h.astype(np.int64) * nrelation + r, t, nentity * nrelation)
-            else:
-                keys, vals, n_keys = (
-                    r.astype(np.int64) * nentity + t, h, nrelation * nentity)
-            uniq_pairs = np.unique(keys.astype(np.int64) * nentity + vals)
-            counts = np.unique(uniq_pairs // nentity, return_counts=True)[1]
-            if counts.size and counts.max() >= nentity:
-                raise ValueError(
-                    "a positive's TRAIN-true partner set covers every entity "
-                    f"— no valid negatives exist (mode={mode})"
-                )
-            from ..data.filterset import TrueIndex, dense_key_arrays
-
-            idx = TrueIndex.build(keys.astype(np.int64), vals)
-            offsets, counts_arr, values, k_max = dense_key_arrays(
-                idx, n_keys, pad_value=nentity
+            offsets, counts_arr, values, k_max = build_mode_csr(
+                triples, nentity, nrelation, mode
             )
             self._mode_state = {
                 "offsets": _place_replicated(offsets, mesh),
@@ -465,15 +486,10 @@ class MeshDeviceSampler:
         # host side: per-host epoch permutation over its edge-partition
         # shard; the DEVICE-draw seed stays host-independent (every device
         # folds its own mesh position into the same base key)
-        self._index_pool = (
-            np.asarray(index_subset, np.int64)
-            if index_subset is not None
-            else np.arange(len(triples), dtype=np.int64)
+        self._stream = _EpochIndexStream(
+            len(triples), index_subset,
+            seed + 7919 * jax.process_index(), self._local_b,
         )
-        if len(self._index_pool) == 0:
-            raise ValueError("empty train-stream shard — nothing to sample")
-        self._order = np.empty(0, np.int64)
-        self._rng = np.random.default_rng(seed + 7919 * jax.process_index())
         self._step = 0
 
         self._sample = jax.jit(
@@ -492,15 +508,7 @@ class MeshDeviceSampler:
         )
 
     def _next_indices(self) -> np.ndarray:
-        while self._order.size < self._local_b:
-            self._order = np.concatenate(
-                [self._order, self._rng.permutation(self._index_pool)]
-            )
-        idx, self._order = (
-            self._order[: self._local_b],
-            self._order[self._local_b:],
-        )
-        return idx.astype(np.int32)
+        return self._stream.next()
 
     def next_batch(self):
         local_idx = self._next_indices()

@@ -61,8 +61,8 @@ done
 [ -n "$fetched" ] || { echo "!! all sources failed" >&2; exit 1; }
 
 SHA="$(sha256sum "$ARCHIVE" | cut -d' ' -f1)"
-if [ -f "$LOCK" ] && grep -q "^$fetched " "$LOCK"; then
-  WANT="$(grep "^$fetched " "$LOCK" | awk '{print $2}')"
+if [ -f "$LOCK" ] && awk -v u="$fetched" '$1==u{f=1}END{exit !f}' "$LOCK"; then
+  WANT="$(awk -v u="$fetched" '$1==u{print $2; exit}' "$LOCK")"
   if [ "$SHA" != "$WANT" ]; then
     echo "!! sha256 differs from lockfile for $fetched" >&2
     echo "   locked:  $WANT" >&2
