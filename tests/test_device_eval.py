@@ -107,3 +107,38 @@ def test_bounded_plumbing_past_group_size():
     assert len(parts) == n
     back = np.asarray(eval_mod._concat_bounded([p[None] if p.ndim == 1 else p for p in parts]))
     np.testing.assert_array_equal(back.reshape(n, 3), np.asarray(stacked))
+
+
+@pytest.mark.parametrize("E,chunk,n_test,tb", [
+    (64, 16, 7, 4),    # E divisible by chunk (chunk_pad == E, width = E+1)
+    (64, 64, 64, 16),  # one chunk exactly; n_test == eff_batch multiple
+    (33, 16, 5, 4),    # ragged everything: E, batches, scan-chunk padding
+    (48, 16, 97, 4),   # n_test >> eff_batch with a ragged tail batch
+])
+def test_device_eval_edge_shapes_match_host(E, chunk, n_test, tb):
+    """Padding edge cases of the scanned device-eval path (chunk_pad == E,
+    ragged batch counts, scan-chunk padding) must reproduce the host-mask
+    path's metrics exactly."""
+    import numpy as np
+
+    from knowledgegraphembedding_tpu import eval as eval_mod
+    from knowledgegraphembedding_tpu.config import ModelSpec
+    from knowledgegraphembedding_tpu.data.filterset import FilterSets
+    from knowledgegraphembedding_tpu.data.synthetic import make_random_kg
+    from knowledgegraphembedding_tpu.models import kge
+    import jax
+
+    ds = make_random_kg(nentity=E, nrelation=3, ntriples=E * 8,
+                        n_valid=8, n_test=n_test, seed=E + n_test)
+    spec = ModelSpec(model_name="RotatE", nentity=E, nrelation=3,
+                     hidden_dim=8, gamma=6.0, double_entity_embedding=True)
+    params = kge.init_params(spec, jax.random.PRNGKey(0))
+    filters = FilterSets.build(ds.train, ds.all_true_triples, E, 3)
+    host = eval_mod.test_step(params, spec, ds.test, filters,
+                              test_batch_size=tb, eval_chunk_size=chunk,
+                              use_pallas=False, device_filter=False)
+    dev = eval_mod.test_step(params, spec, ds.test, filters,
+                             test_batch_size=tb, eval_chunk_size=chunk,
+                             use_pallas=False, device_filter=True)
+    for k in host:
+        assert host[k] == dev[k], (k, host[k], dev[k])

@@ -333,3 +333,65 @@ def test_f64_exact_all_models(pipeline, model, de, dr, adv, uni, reg):
     for k in ("MRR", "HITS@1", "HITS@3", "HITS@10"):
         assert abs(j_metrics[k] - t_metrics[k]) <= 0.002, (
             model, k, j_metrics[k], t_metrics[k])
+
+
+def test_f64_exact_dense_scoring_path(pipeline):
+    """The dense MXU scoring path (one matmul vs the whole table + take)
+    must ride the same f64-exact trajectory as the torch gather reference —
+    pins the dense path's backward + Adam interaction, not just its
+    per-step scores."""
+    ds, filters, _, batches, _ = pipeline
+    spec = ModelSpec(
+        model_name="DistMult", nentity=ds.nentity, nrelation=ds.nrelation,
+        hidden_dim=D, gamma=G,
+    )
+    steps, warm_up = 150, 75
+    p0 = kge.init_params(spec, jax.random.PRNGKey(SEED))
+
+    ent = torch.tensor(np.array(p0["entity_embedding"]), dtype=torch.float64,
+                       requires_grad=True)
+    rel = torch.tensor(np.array(p0["relation_embedding"]), dtype=torch.float64,
+                       requires_grad=True)
+    opt = torch.optim.Adam([ent, rel], lr=LR)
+    w_up, cur_lr = warm_up, LR
+    t_losses = []
+    for step in range(steps):
+        pos, neg, w, mode = batches[step]
+        loss, _, _ = oracle.loss_fn(
+            ent, rel, torch.from_numpy(np.asarray(pos, np.int64)),
+            torch.from_numpy(np.asarray(neg, np.int64)),
+            torch.from_numpy(np.asarray(w)).to(torch.float64), mode,
+            "DistMult", G, spec.embedding_range, adv=True, adv_temp=1.0)
+        opt.zero_grad(); loss.backward(); opt.step()
+        t_losses.append(float(loss.detach()))
+        if step >= w_up:
+            cur_lr /= 10.0
+            opt = torch.optim.Adam([ent, rel], lr=cur_lr)
+            w_up *= 3
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        from knowledgegraphembedding_tpu.train import Trainer
+        import jax.numpy as jnp
+
+        p64 = {k: np.asarray(v, np.float64) for k, v in p0.items()}
+        tspec = TrainSpec(
+            negative_sample_size=N, negative_adversarial_sampling=True,
+            adversarial_temperature=1.0, scoring="dense",
+        )
+        trainer = Trainer(spec, tspec, p64, lr=LR, warm_up_steps=warm_up)
+        j_losses = []
+        for step in range(steps):
+            pos, neg, w, mode = batches[step]
+            logs = trainer.one_step((
+                jnp.asarray(pos), jnp.asarray(neg),
+                jnp.asarray(np.asarray(w, np.float64)), mode,
+            ))
+            j_losses.append(float(logs["loss"]))
+    finally:
+        jax.config.update("jax_enable_x64", False)
+    # the dense path reduces over d in a DIFFERENT order (matmul) than the
+    # torch gather reference, so ~1e-15 reassociation noise per score
+    # amplifies chaotically — measured 1.8e-8 at step 150; a semantic
+    # drift (wrong take/backward) would sit orders above this bound
+    np.testing.assert_allclose(j_losses, t_losses, rtol=0, atol=1e-6)
