@@ -443,9 +443,13 @@ def test_step(
         chunk_pad = _cdiv(spec.nentity, chunk) * chunk
         dev_filter = get_device_filter(filters)
         # ranks are per-triple, so the device batch size is free to differ
-        # from the user-facing --test_batch_size: floor it at 16 so the
-        # reference default (4) doesn't quadruple dispatch count
-        eff_batch = max(test_batch_size, 16)
+        # from the user-facing --test_batch_size. Floors measured on chip
+        # at YAGO scale: the bilinear MXU matmul is SKINNY at 16 rows and
+        # gains +45 % at 128 (14.1k -> 20.5k evals/s; 256 regresses); the
+        # distance-family Pallas kernel is VPU-compute-bound and flat in
+        # batch, so 16 keeps per-dispatch latency low.
+        floor = 128 if matmul_scoring.supports_dense(spec.model_name) else 16
+        eff_batch = max(test_batch_size, floor)
         if eff_batch != test_batch_size and logger is not None:
             logger.info(
                 "device eval path: batching %d triples per dispatch "
