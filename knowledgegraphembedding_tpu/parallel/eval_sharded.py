@@ -244,13 +244,18 @@ def sharded_test_step(
         dev_filter = eval_mod.get_device_filter(
             filters, mesh=mesh if multi else None
         )
-        n_pad = -(-n_real // test_batch_size) * test_batch_size
+        # same per-family effective-batch floors as eval.test_step (ranks
+        # are per-triple, so results are unchanged): skinny matmuls waste
+        # the MXU below ~128 rows; the distance family is compute-bound
+        floor = 128 if matmul_scoring.supports_dense(spec.model_name) else 16
+        eff_batch = max(test_batch_size, floor)
+        n_pad = -(-n_real // eff_batch) * eff_batch
         trip = np.asarray(test_triples, np.int32)
         if n_pad != n_real:
             trip = np.concatenate(
                 [trip, np.repeat(trip[-1:], n_pad - n_real, axis=0)]
             )
-        stacked = trip.reshape(-1, test_batch_size, 3)
+        stacked = trip.reshape(-1, eff_batch, 3)
         # fixed-size scan chunks (host-side pad BEFORE placement): one
         # compiled executable shape covers every eval-set size (see
         # eval._SCAN_CHUNK)
@@ -284,7 +289,7 @@ def sharded_test_step(
                 )
         per_mode = np.asarray(
             eval_mod._concat_bounded(per_mode_ranks)
-        ).reshape(len(modes), n_scan * test_batch_size)[:, :n_real]
+        ).reshape(len(modes), n_scan * eff_batch)[:, :n_real]
         for ranks in per_mode:
             logs.extend(eval_mod.metrics_from_ranks(ranks))
         return {k: float(np.mean([lg[k] for lg in logs])) for k in logs[0]}
