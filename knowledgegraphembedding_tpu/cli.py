@@ -73,6 +73,10 @@ def parse_args(argv=None) -> RunConfig:
     p.add_argument("--eval_chunk_size", type=int, default=4096)
     p.add_argument("--num_shards", type=int, default=1,
                    help="entity-table row shards / data-parallel degree over the device mesh")
+    p.add_argument("--model_shards", type=int, default=1,
+                   help=">1 adds a second mesh axis sharding the EMBEDDING "
+                        "DIM of both tables (2-D (data, model) mesh, gspmd "
+                        "only; must divide the table widths)")
     p.add_argument("--use_pallas", action=argparse.BooleanOptionalAction,
                    default=None,
                    help="fused Pallas ranking kernel at eval (default: auto on TPU)")
@@ -236,11 +240,26 @@ def main(argv=None) -> dict:
                 "process's devices"
             )
     mesh = None
-    if config.num_shards > 1:
+    if config.num_shards > 1 or config.model_shards > 1:
         from .parallel import sharding as sharding_mod
 
-        mesh = sharding_mod.build_mesh(config.num_shards)
-        logging.info("SPMD mesh: %d devices on axis 'data'", config.num_shards)
+        if config.model_shards > 1 and config.multihost:
+            raise ValueError(
+                "--model_shards > 1 is single-host for now (the multihost "
+                "stream plumbing assumes a 1-D data mesh)"
+            )
+        mesh = sharding_mod.build_mesh(
+            config.num_shards, model_shards=config.model_shards
+        )
+        if config.model_shards > 1:
+            logging.info(
+                "SPMD mesh: (%d data x %d model) devices",
+                config.num_shards, config.model_shards,
+            )
+        else:
+            logging.info(
+                "SPMD mesh: %d devices on axis 'data'", config.num_shards
+            )
         if config.multihost:
             logging.info(
                 "multihost: process %d/%d, %d local devices",
@@ -250,6 +269,11 @@ def main(argv=None) -> dict:
         if config.do_train and config.steps_per_dispatch > 1:
             from .fused_train import FusedMeshTrainer
 
+            if config.model_shards > 1:
+                raise ValueError(
+                    "--steps_per_dispatch > 1 is written for the 1-D row "
+                    "shard; use per-step training with --model_shards"
+                )
             if config.spmd_mode == "routed":
                 raise ValueError(
                     "--steps_per_dispatch > 1 on a mesh fuses the "
@@ -411,7 +435,8 @@ def main(argv=None) -> dict:
             if (config.negative_sharing == "batch" and index_subset is not None)
             else None
         )
-        if sampler_backend == "device" and mesh is not None:
+        if (sampler_backend == "device" and mesh is not None
+                and "model" not in mesh.axis_names):
             # mesh-wide SPMD sampler: each device draws its own shard of
             # the global batch on-device; hosts ship only [B/P] index rows
             # per step and the train step consumes the emitted GLOBAL
@@ -632,6 +657,20 @@ def _evaluate(trainer, spec, config, triples, ds, filters, eval_mod, mesh=None) 
         params = trainer.host_params() if mesh is not None else trainer.params
         auc = eval_mod.countries_auc_pr(params, spec, triples, config.regions)
         return {"auc_pr": auc}
+    if mesh is not None and "model" in mesh.axis_names:
+        # 2-D meshes: the candidate-axis-sharded evaluator is written for
+        # the 1-D row shard — gather to host once and run the single-device
+        # evaluator (training-time placement is untouched)
+        params = trainer.host_params()
+        return eval_mod.test_step(
+            params, spec, triples, filters,
+            test_batch_size=config.test_batch_size,
+            eval_chunk_size=config.eval_chunk_size,
+            test_log_steps=config.test_log_steps,
+            logger=logging.getLogger(),
+            use_pallas=config.use_pallas,
+            device_filter=device_filter,
+        )
     if mesh is not None:
         from .parallel import eval_sharded
 

@@ -152,6 +152,7 @@ class RunConfig:
     sampler_backend: str = "auto"  # 'auto' | 'native' | 'numpy'
     negative_sharing: str = "none"  # 'none' (reference) | 'batch' (shared negs)
     steps_per_dispatch: int = 1  # >1: fused k-step train blocks (fused_train.py)
+    model_shards: int = 1  # >1: 2-D (data, model) mesh — embedding-dim sharding
     async_checkpoint: bool = True  # background checkpoint writes (checkpoint.py)
     profile_dir: Optional[str] = None  # jax.profiler trace output dir
     eval_filter: str = "auto"  # 'auto' | 'host' | 'device' (device-resident CSR)

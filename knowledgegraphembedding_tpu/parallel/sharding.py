@@ -39,33 +39,62 @@ from .. import optim
 from ..train import loss_and_logs
 
 DATA_AXIS = "data"
+MODEL_AXIS = "model"
 
 
-def build_mesh(n_devices: Optional[int] = None) -> Mesh:
-    """1-D device mesh over the data axis."""
+def build_mesh(n_devices: Optional[int] = None,
+               model_shards: int = 1) -> Mesh:
+    """Device mesh: 1-D over ``data`` (the default), or 2-D
+    ``(data, model)`` when ``model_shards > 1`` — the embedding-dim axis
+    of the tables shards over ``model`` (GSPMD partitions the gathers,
+    scorer reductions, and Adam sweep over both axes; the batch stays
+    data-parallel only)."""
     devs = np.asarray(jax.devices())
-    if n_devices is not None:
-        if n_devices > len(devs):
-            raise ValueError(
-                f"requested a {n_devices}-device mesh but only "
-                f"{len(devs)} devices are available"
-            )
-        devs = devs[:n_devices]
+    total = (n_devices if n_devices is not None else len(devs))
+    if model_shards > 1:
+        total = (n_devices or (len(devs) // model_shards)) * model_shards
+    if total > len(devs):
+        raise ValueError(
+            f"requested a {total}-device mesh but only "
+            f"{len(devs)} devices are available"
+        )
+    devs = devs[:total]
+    if model_shards > 1:
+        return Mesh(devs.reshape(-1, model_shards), (DATA_AXIS, MODEL_AXIS))
     return Mesh(devs, (DATA_AXIS,))
 
 
-def param_specs(spec: ModelSpec) -> dict:
+def is_model_sharded(mesh: Mesh) -> bool:
+    return MODEL_AXIS in mesh.axis_names
+
+
+def validate_model_sharding(spec: ModelSpec, mesh: Mesh) -> None:
+    """Column sharding must divide both table widths EXACTLY — padding the
+    embedding dim would corrupt the re/im half-split the complex-family
+    scorers slice at dim//2."""
+    if not is_model_sharded(mesh):
+        return
+    m = mesh.shape[MODEL_AXIS]
+    if spec.entity_dim % m or spec.relation_dim % m:
+        raise ValueError(
+            f"--model_shards {m} must divide entity_dim "
+            f"({spec.entity_dim}) and relation_dim ({spec.relation_dim})"
+        )
+
+
+def param_specs(spec: ModelSpec, model_sharded: bool = False) -> dict:
+    col = MODEL_AXIS if model_sharded else None
     specs = {
-        "entity_embedding": P(DATA_AXIS, None),  # row-sharded
-        "relation_embedding": P(None, None),  # replicated
+        "entity_embedding": P(DATA_AXIS, col),  # rows x (optionally) cols
+        "relation_embedding": P(None, col),  # replicated over data
     }
     if spec.has_modulus:
         specs["modulus"] = P()
     return specs
 
 
-def opt_specs(spec: ModelSpec) -> optim.AdamState:
-    ps = param_specs(spec)
+def opt_specs(spec: ModelSpec, model_sharded: bool = False) -> optim.AdamState:
+    ps = param_specs(spec, model_sharded)
     return optim.AdamState(count=P(), m=dict(ps), v=dict(ps))
 
 
@@ -107,12 +136,12 @@ def _place(value, sharding: NamedSharding):
 def shard_params(params: kge.Params, spec: ModelSpec, mesh: Mesh) -> kge.Params:
     """Place an (unsharded) param pytree onto the mesh. Entity rows must
     divide the mesh for even layout; pad_entities() handles ragged tables."""
-    sh = _named(mesh, param_specs(spec))
+    sh = _named(mesh, param_specs(spec, is_model_sharded(mesh)))
     return jax.tree.map(_place, params, sh)
 
 
 def shard_opt_state(state: optim.AdamState, spec: ModelSpec, mesh: Mesh) -> optim.AdamState:
-    sh = _named(mesh, opt_specs(spec))
+    sh = _named(mesh, opt_specs(spec, is_model_sharded(mesh)))
     return jax.tree.map(_place, state, sh)
 
 
@@ -135,8 +164,9 @@ def make_sharded_train_step(spec: ModelSpec, tspec: TrainSpec, mesh: Mesh,
     for entity lookups, psum for replicated relation grads, psum for the
     batch-reduced loss terms).
     """
-    p_specs = param_specs(spec)
-    o_specs = opt_specs(spec)
+    two_d = is_model_sharded(mesh)
+    p_specs = param_specs(spec, two_d)
+    o_specs = opt_specs(spec, two_d)
     pos_s, neg_s, w_s = batch_specs(shared_negatives)
 
     def step(params, opt_state, pos, neg, weight, lr):
@@ -227,8 +257,16 @@ class ShardedTrainer:
         self.spec = spec
         self.tspec = tspec
         self.mesh = mesh
-        n = mesh.devices.size
-        self.params = shard_params(pad_params(params, n), spec, mesh)
+        if is_model_sharded(mesh):
+            if spmd_mode != "gspmd":
+                raise ValueError(
+                    "2-D (model-sharded) meshes run --spmd_mode gspmd only "
+                    "(the hand-scheduled schedules are written for the 1-D "
+                    f"row shard); got {spmd_mode!r}"
+                )
+            validate_model_sharding(spec, mesh)
+        n_rows = mesh.shape[DATA_AXIS]
+        self.params = shard_params(pad_params(params, n_rows), spec, mesh)
         self.opt_state = shard_opt_state(optim.init_state(self.params), spec, mesh)
         self.current_learning_rate = lr
         self.warm_up_steps = warm_up_steps
@@ -269,7 +307,7 @@ class ShardedTrainer:
 
     def load_host_state(self, params, opt_state, step, lr, warm_up_steps):
         """Restore from an (unsharded) checkpoint onto the mesh."""
-        n = self.mesh.devices.size
+        n = self.mesh.shape[DATA_AXIS]
         self.params = shard_params(pad_params(params, n), self.spec, self.mesh)
         # Adam moments shard exactly like the params, so they pad the same
         m = pad_params(dict(opt_state.m), n)
