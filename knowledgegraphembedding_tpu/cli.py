@@ -377,7 +377,7 @@ def main(argv=None) -> dict:
     elif config.do_train:
         logging.info("learning_rate = %f", trainer.current_learning_rate)
         sampler_backend = config.sampler_backend
-        if (sampler_backend == "auto" and config.num_shards == 1
+        if (sampler_backend == "auto" and mesh is None
                 and jax.default_backend() == "tpu"):
             # Measured policy (BENCH_NOTES.md): the on-device sampler wins
             # whenever the host pipeline is the bottleneck — always for the
@@ -435,8 +435,15 @@ def main(argv=None) -> dict:
             if (config.negative_sharing == "batch" and index_subset is not None)
             else None
         )
-        if (sampler_backend == "device" and mesh is not None
-                and "model" not in mesh.axis_names):
+        mesh_device_stream = (
+            sampler_backend == "device" and mesh is not None
+        )
+        if mesh_device_stream and "model" in mesh.axis_names:
+            raise ValueError(
+                "--sampler_backend device is written for the 1-D row-shard "
+                "mesh; use a host sampler backend with --model_shards"
+            )
+        if mesh_device_stream:
             # mesh-wide SPMD sampler: each device draws its own shard of
             # the global batch on-device; hosts ship only [B/P] index rows
             # per step and the train step consumes the emitted GLOBAL
@@ -494,7 +501,7 @@ def main(argv=None) -> dict:
         # untouched (np.asarray on a non-fully-addressable array raises).
         if mesh is None:
             cast = jnp.asarray
-        elif sampler_backend == "device":
+        elif mesh_device_stream:
             cast = lambda x: x  # noqa: E731
         else:
             cast = np.asarray
@@ -657,21 +664,7 @@ def _evaluate(trainer, spec, config, triples, ds, filters, eval_mod, mesh=None) 
         params = trainer.host_params() if mesh is not None else trainer.params
         auc = eval_mod.countries_auc_pr(params, spec, triples, config.regions)
         return {"auc_pr": auc}
-    if mesh is not None and "model" in mesh.axis_names:
-        # 2-D meshes: the candidate-axis-sharded evaluator is written for
-        # the 1-D row shard — gather to host once and run the single-device
-        # evaluator (training-time placement is untouched)
-        params = trainer.host_params()
-        return eval_mod.test_step(
-            params, spec, triples, filters,
-            test_batch_size=config.test_batch_size,
-            eval_chunk_size=config.eval_chunk_size,
-            test_log_steps=config.test_log_steps,
-            logger=logging.getLogger(),
-            use_pallas=config.use_pallas,
-            device_filter=device_filter,
-        )
-    if mesh is not None:
+    if mesh is not None and "model" not in mesh.axis_names:
         from .parallel import eval_sharded
 
         return eval_sharded.sharded_test_step(
@@ -679,8 +672,14 @@ def _evaluate(trainer, spec, config, triples, ds, filters, eval_mod, mesh=None) 
             test_batch_size=config.test_batch_size,
             device_filter=device_filter,
         )
+    # 2-D meshes: the candidate-axis-sharded evaluator is written for the
+    # 1-D row shard — gather to host once and run the single-device
+    # evaluator (training-time placement untouched)
+    params = (trainer.host_params()
+              if mesh is not None and "model" in mesh.axis_names
+              else trainer.params)
     return eval_mod.test_step(
-        trainer.params, spec, triples, filters,
+        params, spec, triples, filters,
         test_batch_size=config.test_batch_size,
         eval_chunk_size=config.eval_chunk_size,
         test_log_steps=config.test_log_steps,

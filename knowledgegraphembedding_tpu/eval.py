@@ -353,6 +353,18 @@ def _eval_scan_pallas(table_padded, rel, modulus, offsets, counts, values,
     return jax.lax.scan(body, None, pos_stack)[1]
 
 
+def eff_eval_batch(spec: ModelSpec, test_batch_size: int) -> int:
+    """Effective device-eval batch (ranks are per-triple, so results are
+    identical to the user-facing --test_batch_size). Floors measured on
+    chip at YAGO scale: the bilinear MXU matmul is SKINNY at 16 rows and
+    gains +45 % at 128 (14.1k -> 20.5k evals/s; 256 regresses); the
+    distance-family Pallas kernel is VPU-compute-bound and flat in batch,
+    so 16 keeps per-dispatch latency low. ONE helper for the single-device
+    and sharded evaluators so their dispatch geometry stays in lockstep."""
+    floor = 128 if matmul_scoring.supports_dense(spec.model_name) else 16
+    return max(test_batch_size, floor)
+
+
 def metrics_from_ranks(ranks: np.ndarray) -> List[Dict[str, float]]:
     """Per-triple log dicts, exactly the reference's names
     (codes/model.py ≈L370-380)."""
@@ -442,14 +454,7 @@ def test_step(
         # shipped host->device (~26 ms latency each on a remote runtime).
         chunk_pad = _cdiv(spec.nentity, chunk) * chunk
         dev_filter = get_device_filter(filters)
-        # ranks are per-triple, so the device batch size is free to differ
-        # from the user-facing --test_batch_size. Floors measured on chip
-        # at YAGO scale: the bilinear MXU matmul is SKINNY at 16 rows and
-        # gains +45 % at 128 (14.1k -> 20.5k evals/s; 256 regresses); the
-        # distance-family Pallas kernel is VPU-compute-bound and flat in
-        # batch, so 16 keeps per-dispatch latency low.
-        floor = 128 if matmul_scoring.supports_dense(spec.model_name) else 16
-        eff_batch = max(test_batch_size, floor)
+        eff_batch = eff_eval_batch(spec, test_batch_size)
         if eff_batch != test_batch_size and logger is not None:
             logger.info(
                 "device eval path: batching %d triples per dispatch "

@@ -244,11 +244,7 @@ def sharded_test_step(
         dev_filter = eval_mod.get_device_filter(
             filters, mesh=mesh if multi else None
         )
-        # same per-family effective-batch floors as eval.test_step (ranks
-        # are per-triple, so results are unchanged): skinny matmuls waste
-        # the MXU below ~128 rows; the distance family is compute-bound
-        floor = 128 if matmul_scoring.supports_dense(spec.model_name) else 16
-        eff_batch = max(test_batch_size, floor)
+        eff_batch = eval_mod.eff_eval_batch(spec, test_batch_size)
         n_pad = -(-n_real // eff_batch) * eff_batch
         trip = np.asarray(test_triples, np.int32)
         if n_pad != n_real:

@@ -50,12 +50,16 @@ def build_mesh(n_devices: Optional[int] = None,
     scorer reductions, and Adam sweep over both axes; the batch stays
     data-parallel only)."""
     devs = np.asarray(jax.devices())
-    total = (n_devices if n_devices is not None else len(devs))
     if model_shards > 1:
-        total = (n_devices or (len(devs) // model_shards)) * model_shards
-    if total > len(devs):
+        data = (n_devices if n_devices is not None
+                else len(devs) // model_shards)
+        total = data * model_shards
+    else:
+        total = n_devices if n_devices is not None else len(devs)
+    if total <= 0 or total > len(devs):
         raise ValueError(
-            f"requested a {total}-device mesh but only "
+            f"requested a {total}-device mesh "
+            f"({model_shards} model shards) but only "
             f"{len(devs)} devices are available"
         )
     devs = devs[:total]

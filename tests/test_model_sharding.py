@@ -93,3 +93,24 @@ def test_cli_2d_mesh_flow(tmp_path):
     assert 0 < metrics["test"]["MRR"] <= 1
     metrics2 = cli.main(["--do_test", "-init", save_dir, "--eval_chunk_size", "16"])
     assert abs(metrics2["test"]["MRR"] - metrics["test"]["MRR"]) < 1e-5
+
+
+def test_cli_2d_rejects_device_sampler(tmp_path):
+    """--sampler_backend device on a 2-D mesh previously fell into the
+    SINGLE-device sampler and crashed the mesh jit at step 0 (r2 review);
+    it must fail loudly at flag level instead."""
+    ds = make_clustered_kg(n_clusters=3, entities_per_cluster=6, nrelation=2, seed=5)
+    data_dir = str(tmp_path / "data")
+    save_dataset(ds, data_dir)
+    with pytest.raises(ValueError, match="model_shards"):
+        cli.main([
+            "--do_train", "--data_path", data_dir, "--model", "RotatE",
+            "-de", "-n", "4", "-b", "16", "-d", "8", "--max_steps", "10",
+            "--num_shards", "2", "--model_shards", "2",
+            "--sampler_backend", "device", "-save", str(tmp_path / "s"),
+        ])
+
+
+def test_build_mesh_oversubscribed_model_shards_raises():
+    with pytest.raises(ValueError, match="devices are available"):
+        sharding.build_mesh(model_shards=16)  # 8-device host: 0-size data axis
