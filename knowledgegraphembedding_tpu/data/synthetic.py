@@ -124,7 +124,11 @@ def make_countries_like(seed: int = 0, level: str = "S1") -> Dataset:
            c -> neighbor -> subregion -> region (three hops)
 
     The published AUC-PR gradient (S1 1.000 / S2 1.000 / S3 ~0.95) must
-    reproduce in shape: S1/S2 saturate, S3 sits measurably lower.
+    reproduce in shape: S1/S2 saturate, S3 sits measurably lower. NB the
+    real dataset is one FIXED geography; this generator redraws it per
+    seed, so S3 difficulty varies with the drawn border graph (measured
+    across seeds 0-2: S3 0.87-1.00 vs S1/S2 ~1.00) — the pinned-seed test
+    asserts the gradient on seed 0 (S3 ≈ 0.997).
     """
     if level not in ("S1", "S2", "S3"):
         raise ValueError(f"level must be S1/S2/S3, got {level!r}")
@@ -160,7 +164,7 @@ def make_countries_like(seed: int = 0, level: str = "S1") -> Dataset:
         other_reg = np.where(region_of != region_of[c])[0]
         picks = list(rng.choice(same_sub, size=2, replace=False))
         picks.append(int(rng.choice(same_reg)))
-        if rng.random() < 0.5:
+        if rng.random() < 0.75:  # most countries border another region
             picks.append(int(rng.choice(other_reg)))
         for p in picks:
             if p != c:
