@@ -230,12 +230,14 @@ def main(argv=None) -> dict:
     warm_up = config.warm_up_steps if config.warm_up_steps else config.max_steps // 2
     if config.multihost and jax.process_count() > 1:
         if config.num_shards == 1:
-            config.num_shards = jax.device_count()  # span the whole fleet
-        elif config.num_shards != jax.device_count():
+            # span the whole fleet: data axis = devices / model columns
+            config.num_shards = jax.device_count() // config.model_shards
+        if config.num_shards * config.model_shards != jax.device_count():
             # a partial mesh would exclude some hosts' devices — those hosts
             # would then join collectives on a mesh they are not part of
             raise ValueError(
-                f"--num_shards {config.num_shards} != fleet device count "
+                f"--num_shards {config.num_shards} x --model_shards "
+                f"{config.model_shards} != fleet device count "
                 f"{jax.device_count()}: multihost meshes must span every "
                 "process's devices"
             )
@@ -244,10 +246,14 @@ def main(argv=None) -> dict:
         from .parallel import sharding as sharding_mod
 
         if config.model_shards > 1 and config.multihost:
-            raise ValueError(
-                "--model_shards > 1 is single-host for now (the multihost "
-                "stream plumbing assumes a 1-D data mesh)"
-            )
+            # each host's devices must fill WHOLE data-rows of the
+            # (data, model) mesh so its batch shard maps onto its devices
+            if jax.local_device_count() % config.model_shards != 0:
+                raise ValueError(
+                    f"--model_shards {config.model_shards} must divide the "
+                    f"local device count ({jax.local_device_count()}) on a "
+                    "multihost fleet (each host owns whole data-rows)"
+                )
         mesh = sharding_mod.build_mesh(
             config.num_shards, model_shards=config.model_shards
         )

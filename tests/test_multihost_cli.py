@@ -225,3 +225,66 @@ def test_two_process_fused_blocks(tmp_path):
     )
     assert resume.returncode == 0, resume.stderr[-2000:]
     assert mrr(resume.stderr + resume.stdout) == pytest.approx(mrr(outs[0]), abs=1e-6)
+
+
+@pytest.mark.slow
+def test_two_process_2d_mesh(tmp_path):
+    """--model_shards on a fleet: 2 processes x 2 local devices form a
+    (2 data x 2 model) mesh — embedding-dim sharding spans hosts; identical
+    cross-host metrics; single-process-resumable checkpoint."""
+    from knowledgegraphembedding_tpu.data.synthetic import make_clustered_kg
+    from knowledgegraphembedding_tpu.data.vocab import save_dataset
+
+    ds = make_clustered_kg(n_clusters=4, entities_per_cluster=7, nrelation=2, seed=5)
+    data_dir = str(tmp_path / "data")
+    save_dir = str(tmp_path / "save")
+    save_dataset(ds, data_dir)
+
+    port = _free_port()
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        PYTHONPATH=REPO_ROOT,
+    )
+
+    def args(pid):
+        return [
+            sys.executable, "-m", "knowledgegraphembedding_tpu.cli",
+            "--do_train", "--do_test",
+            "--data_path", data_dir, "--model", "RotatE", "-de",
+            "-n", "8", "-b", "32", "-d", "8", "-g", "4.0", "-adv",
+            "-lr", "0.01", "--max_steps", "40", "--log_steps", "20",
+            "--test_batch_size", "4", "--model_shards", "2",
+            "--multihost",
+            "--coordinator_address", f"127.0.0.1:{port}",
+            "--num_processes", "2", "--process_id", str(pid),
+            "-save", save_dir,
+        ]
+
+    procs = [
+        subprocess.Popen(args(pid), env=env, stdout=subprocess.PIPE,
+                         stderr=subprocess.STDOUT, text=True)
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"host {pid} failed:\n{out[-4000:]}"
+    assert "SPMD mesh: (2 data x 2 model) devices" in outs[0]
+
+    def mrr(out):
+        m = re.search(r"Test MRR at step \d+: ([0-9.]+)", out)
+        assert m, out[-2000:]
+        return float(m.group(1))
+
+    assert mrr(outs[0]) == pytest.approx(mrr(outs[1]), abs=0)
+
+    resume = subprocess.run(
+        [sys.executable, "-m", "knowledgegraphembedding_tpu.cli",
+         "--do_test", "-init", save_dir, "--platform", "cpu",
+         "--test_batch_size", "4", "--eval_chunk_size", "16"],
+        env=dict(os.environ, PYTHONPATH=REPO_ROOT),
+        capture_output=True, text=True, timeout=300,
+    )
+    assert resume.returncode == 0, resume.stderr[-2000:]
+    assert mrr(resume.stderr + resume.stdout) == pytest.approx(mrr(outs[0]), abs=1e-6)
