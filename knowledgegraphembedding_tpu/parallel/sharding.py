@@ -64,7 +64,20 @@ def build_mesh(n_devices: Optional[int] = None,
         )
     devs = devs[:total]
     if model_shards > 1:
-        return Mesh(devs.reshape(-1, model_shards), (DATA_AXIS, MODEL_AXIS))
+        grid = devs.reshape(-1, model_shards)
+        if jax.process_count() > 1:
+            # the multihost batch stream assigns each host its data-rows:
+            # a row straddling hosts would break that mapping silently
+            # (the count check in cli.py cannot see placement)
+            for row in grid:
+                procs = {d.process_index for d in row}
+                if len(procs) > 1:
+                    raise ValueError(
+                        "2-D mesh data-row spans processes "
+                        f"{sorted(procs)}; choose --model_shards so each "
+                        "host's devices fill whole rows"
+                    )
+        return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
     return Mesh(devs, (DATA_AXIS,))
 
 
