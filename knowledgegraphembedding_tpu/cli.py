@@ -208,6 +208,29 @@ def main(argv=None) -> dict:
     if config.countries:
         config.regions = ds.regions
 
+    # dataset fingerprint: stamped into config.json at save; compared on
+    # resume so a changed dataset (synthetic generator retune, re-pointed
+    # --data_path with identical vocab sizes) WARNS instead of silently
+    # producing metrics against a graph the checkpoint never saw
+    import json as _json
+    import zlib as _zlib
+
+    config.data_fingerprint = int(_zlib.crc32(
+        np.ascontiguousarray(ds.train, dtype=np.int32).tobytes()
+    ))
+    if config.init_checkpoint:
+        try:
+            with open(os.path.join(config.init_checkpoint, "config.json")) as f:
+                saved_fp = _json.load(f).get("data_fingerprint", 0)
+        except OSError:
+            saved_fp = 0
+        if saved_fp and saved_fp != config.data_fingerprint:
+            logging.warning(
+                "dataset fingerprint mismatch: checkpoint trained on crc32 "
+                "%08x, current data is %08x — metrics will be computed "
+                "against a DIFFERENT graph", saved_fp, config.data_fingerprint,
+            )
+
     logging.info("Model: %s", config.model)
     logging.info("Data Path: %s", config.data_path)
     logging.info("#entity: %d", ds.nentity)
@@ -228,7 +251,17 @@ def main(argv=None) -> dict:
             "Parameter %s: %s, require_grad = True", name, tuple(val.shape)
         )
     warm_up = config.warm_up_steps if config.warm_up_steps else config.max_steps // 2
+    if config.num_shards < 1 or config.model_shards < 1:
+        raise ValueError(
+            f"--num_shards {config.num_shards} / --model_shards "
+            f"{config.model_shards}: both must be >= 1"
+        )
     if config.multihost and jax.process_count() > 1:
+        if jax.device_count() % config.model_shards != 0:
+            raise ValueError(
+                f"--model_shards {config.model_shards} must divide the "
+                f"fleet device count ({jax.device_count()})"
+            )
         if config.num_shards == 1:
             # span the whole fleet: data axis = devices / model columns
             config.num_shards = jax.device_count() // config.model_shards

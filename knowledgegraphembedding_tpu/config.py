@@ -153,6 +153,11 @@ class RunConfig:
     negative_sharing: str = "none"  # 'none' (reference) | 'batch' (shared negs)
     steps_per_dispatch: int = 1  # >1: fused k-step train blocks (fused_train.py)
     model_shards: int = 1  # >1: 2-D (data, model) mesh — embedding-dim sharding
+    # crc32 of the train triples, stamped by cli.main and saved in
+    # config.json so a resume against DIFFERENT data (e.g. a synthetic
+    # generator whose output changed) warns instead of silently evaluating
+    # a mismatched graph. Not a CLI flag.
+    data_fingerprint: int = 0
     async_checkpoint: bool = True  # background checkpoint writes (checkpoint.py)
     profile_dir: Optional[str] = None  # jax.profiler trace output dir
     eval_filter: str = "auto"  # 'auto' | 'host' | 'device' (device-resident CSR)

@@ -69,16 +69,24 @@ def build_mesh(n_devices: Optional[int] = None,
             # the multihost batch stream assigns each host its data-rows:
             # a row straddling hosts would break that mapping silently
             # (the count check in cli.py cannot see placement)
-            for row in grid:
-                procs = {d.process_index for d in row}
-                if len(procs) > 1:
-                    raise ValueError(
-                        "2-D mesh data-row spans processes "
-                        f"{sorted(procs)}; choose --model_shards so each "
-                        "host's devices fill whole rows"
-                    )
+            check_rows_single_process(
+                [[d.process_index for d in row] for row in grid]
+            )
         return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
     return Mesh(devs, (DATA_AXIS,))
+
+
+def check_rows_single_process(rows_process_indices) -> None:
+    """Every 2-D-mesh data-row must live on ONE process (pure function so
+    the straddle guard is unit-testable without faking device objects)."""
+    for row in rows_process_indices:
+        procs = set(row)
+        if len(procs) > 1:
+            raise ValueError(
+                "2-D mesh data-row spans processes "
+                f"{sorted(procs)}; choose --model_shards so each "
+                "host's devices fill whole rows"
+            )
 
 
 def is_model_sharded(mesh: Mesh) -> bool:

@@ -203,3 +203,29 @@ def test_synthetic_registry_data_path(tmp_path):
         "-save", str(tmp_path / "save"),
     ])
     assert 0 < metrics["test"]["MRR"] <= 1
+
+
+def test_resume_warns_on_dataset_fingerprint_mismatch(tmp_path, capfd):
+    """A checkpoint resumed against DIFFERENT triples (same vocab sizes)
+    must warn loudly — e.g. a synthetic generator whose output changed
+    between save and resume (r2 review)."""
+    ds_a = make_clustered_kg(n_clusters=3, entities_per_cluster=8, nrelation=2, seed=1)
+    ds_b = make_clustered_kg(n_clusters=3, entities_per_cluster=8, nrelation=2, seed=2)
+    dir_a, dir_b = str(tmp_path / "a"), str(tmp_path / "b")
+    save_dir = str(tmp_path / "save")
+    save_dataset(ds_a, dir_a)
+    save_dataset(ds_b, dir_b)
+    cli.main([
+        "--do_train", "--data_path", dir_a, "--model", "TransE",
+        "-n", "4", "-b", "16", "-d", "8", "-g", "4.0",
+        "-lr", "0.01", "--max_steps", "10", "--log_steps", "5",
+        "-save", save_dir,
+    ])
+    cli.main(["--do_test", "-init", save_dir, "--data_path", dir_a,
+              "--eval_chunk_size", "8"])
+    out = capfd.readouterr()
+    assert "fingerprint mismatch" not in out.err + out.out  # same data: quiet
+    cli.main(["--do_test", "-init", save_dir, "--data_path", dir_b,
+              "--eval_chunk_size", "8"])
+    out = capfd.readouterr()
+    assert "fingerprint mismatch" in out.err + out.out

@@ -180,7 +180,7 @@ def test_countries_s1_s2_s3_difficulty_gradient():
                                         warm_up=10**9)
         auc[level] = eval_mod.countries_auc_pr(
             trainer.params, spec, ds.test, ds.regions)
-    # measured: S1 1.000, S2 1.000, S3 0.992 (seed 0)
+    # measured (seed 0, border-noise p=0.75): S1 1.000, S2 1.000, S3 0.9968
     assert auc["S1"] > 0.99, auc
     assert auc["S2"] > 0.99, auc
     assert 0.90 < auc["S3"] < 0.9995, auc
