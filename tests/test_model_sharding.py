@@ -114,3 +114,10 @@ def test_cli_2d_rejects_device_sampler(tmp_path):
 def test_build_mesh_oversubscribed_model_shards_raises():
     with pytest.raises(ValueError, match="devices are available"):
         sharding.build_mesh(model_shards=16)  # 8-device host: 0-size data axis
+
+
+def test_row_straddle_guard_pure():
+    """The placement guard itself (rows spanning processes must raise)."""
+    sharding.check_rows_single_process([[0, 0], [1, 1]])  # aligned: ok
+    with pytest.raises(ValueError, match="spans processes"):
+        sharding.check_rows_single_process([[0, 1], [1, 1]])
