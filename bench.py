@@ -167,6 +167,14 @@ def matrix():
         print(json.dumps({"metric": f"train triples/s — {name}",
                           "value": round(tps, 1), "unit": "triples/s"}))
 
+    # wn18rr best-config shape (the big-negatives config: B*n = 524k rows)
+    tps = _measure_train(model="RotatE", scoring="gather", B=512, n=1024,
+                         d=500, n_steps=30, nentity=40943, nrelation=11,
+                         ntriples=86835)
+    print(json.dumps({"metric": "train triples/s — RotatE wn18rr "
+                                "(E=40943, B=512, n=1024, d=500 -de)",
+                      "value": round(tps, 1), "unit": "triples/s"}))
+
     # TRUE YAGO3-10 scale (E=123182, 1.08M train triples; best_config:
     # n=400, d=500 -de, B=1024) — r1's row used an E=14541 stand-in
     tps = _measure_train(model="RotatE", scoring="gather", B=1024, n=400,
