@@ -214,3 +214,21 @@ def test_cli_mesh_fused_default_gspmd_mode(tmp_path):
             "--num_shards", "2", "--spmd_mode", "routed",
             "--steps_per_dispatch", "8", "-save", str(tmp_path / "s2"),
         ])
+
+
+def test_cli_fused_with_regularization_logs(tmp_path):
+    """Fused blocks carry the 4th log key (regularization) through the
+    summed block vector and into the window logs."""
+    ds = make_clustered_kg(n_clusters=3, entities_per_cluster=6, nrelation=2, seed=5)
+    data_dir, save_dir = str(tmp_path / "data"), str(tmp_path / "save")
+    save_dataset(ds, data_dir)
+    cli.main([
+        "--do_train", "--data_path", data_dir, "--model", "ComplEx",
+        "-de", "-dr", "-r", "0.00001", "-n", "4", "-b", "16", "-d", "8",
+        "-g", "200.0", "-lr", "0.001", "--max_steps", "20",
+        "--log_steps", "10", "--steps_per_dispatch", "4",
+        "-save", save_dir,
+    ])
+    log_text = open(os.path.join(save_dir, "train.log")).read()
+    assert "Training average regularization at step 9" in log_text
+    assert "Training average regularization at step 19" in log_text
