@@ -229,3 +229,19 @@ def test_resume_warns_on_dataset_fingerprint_mismatch(tmp_path, capfd):
               "--eval_chunk_size", "8"])
     out = capfd.readouterr()
     assert "fingerprint mismatch" in out.err + out.out
+
+
+def test_countries_on_mesh(tmp_path):
+    """--countries + --num_shards: AUC-PR evaluation gathers host params
+    from the mesh trainer (the countries branch of _evaluate)."""
+    ds = make_countries_like(seed=0)
+    data_dir = str(tmp_path / "data")
+    save_dataset(ds, data_dir)
+    metrics = cli.main([
+        "--do_train", "--do_test", "--countries",
+        "--data_path", data_dir, "--model", "pRotatE",
+        "-n", "8", "-b", "64", "-d", "16", "-g", "0.1", "-adv",
+        "-lr", "0.01", "--max_steps", "60", "--log_steps", "30",
+        "--num_shards", "2", "-save", str(tmp_path / "save"),
+    ])
+    assert 0.0 <= metrics["test"]["auc_pr"] <= 1.0
