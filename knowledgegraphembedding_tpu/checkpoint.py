@@ -130,6 +130,18 @@ def wait_for_pending_save() -> None:
         raise RuntimeError("background checkpoint write failed") from err
 
 
+def check_pending_save() -> None:
+    """Non-blocking failure probe for the background writer: raises
+    immediately if an async save already failed, without joining an
+    in-flight healthy one. Poll this from the train loop's log window so an
+    ENOSPC/permission failure aborts within one log interval instead of
+    surfacing a full checkpoint interval later (at the NEXT save_model)."""
+    global _pending_error
+    if _pending_error is not None:
+        err, _pending_error = _pending_error, None
+        raise RuntimeError("background checkpoint write failed") from err
+
+
 atexit.register(wait_for_pending_save)
 
 

@@ -222,7 +222,10 @@ def main(argv=None) -> dict:
         try:
             with open(os.path.join(config.init_checkpoint, "config.json")) as f:
                 saved_fp = _json.load(f).get("data_fingerprint", 0)
-        except OSError:
+        except (OSError, ValueError, AttributeError):
+            # advisory check only — a missing or malformed config.json must
+            # never block a resume (json.JSONDecodeError is a ValueError;
+            # AttributeError covers valid-but-non-object JSON)
             saved_fp = 0
         if saved_fp and saved_fp != config.data_fingerprint:
             logging.warning(
@@ -584,6 +587,9 @@ def main(argv=None) -> dict:
                                     asynchronous=config.async_checkpoint)
 
             if (step + 1) % config.log_steps == 0:
+                # surface an async-writer failure within one log interval,
+                # not a full checkpoint interval later
+                ckpt_mod.check_pending_save()
                 sums = np.asarray(log_acc)  # the one device sync per window
                 metrics = {k: float(s) / n_since for k, s in zip(log_keys, sums)}
                 dt = time.time() - t_last
@@ -674,6 +680,7 @@ def _run_fused_training(trainer, config, ds, filters, eval_mod, ckpt_mod):
             ckpt_mod.save_model(trainer, config, config.save_path,
                                 asynchronous=config.async_checkpoint)
         if (step + 1) % config.log_steps == 0:
+            ckpt_mod.check_pending_save()  # async-writer failure → abort now
             sums = np.asarray(log_acc)  # the one device sync per window
             metrics = {kk: float(s) / n_since for kk, s in zip(log_keys, sums)}
             dt = time.time() - t_last

@@ -477,7 +477,8 @@ def test_step(
         # distinct batch count; pad batches repeat the last batch and their
         # ranks are dropped below. test_log_steps (when smaller) still
         # bounds the dispatch so the reference's progress cadence holds.
-        SC = min(nb, _SCAN_CHUNK, test_log_steps)
+        log_every = max(1, test_log_steps)  # 0 must not zero the chunk/cadence
+        SC = min(nb, _SCAN_CHUNK, log_every)
         n_scan = _cdiv(nb, SC) * SC
         if n_scan != nb:
             trip_stack = jnp.concatenate(
@@ -509,7 +510,7 @@ def test_step(
                 device_ranks.append(r.reshape(-1))
                 done_b = min(s + SC, nb)
                 if logger is not None and (
-                    done_b // test_log_steps > last_logged // test_log_steps
+                    done_b // log_every > last_logged // log_every
                     or done_b == nb
                 ):
                     last_logged = done_b
@@ -542,7 +543,9 @@ def test_step(
                 )
             logs.extend(metrics_from_ranks(np.asarray(ranks)[:B]))
             done += B
-            if logger is not None and (done // test_batch_size) % test_log_steps == 0:
+            if logger is not None and (
+                (done // test_batch_size) % max(1, test_log_steps) == 0
+            ):
                 logger.info("Evaluating the model... (%d/%d)", done, total)
 
     return {k: float(np.mean([lg[k] for lg in logs])) for k in logs[0]}

@@ -215,7 +215,12 @@ class FusedDeviceTrainer(Trainer):
     def run_block(self, k: int) -> Dict[str, float]:
         """Advance k fused steps; returns the SUMMED logs dict (caller
         divides by its window count, exactly like per-step accumulation)."""
-        assert k <= self.max_block(k), (k, self.step, self.warm_up_steps)
+        if k > self.max_block(k):
+            raise ValueError(
+                f"run_block(k={k}) would cross the LR-decay boundary: "
+                f"step={self.step}, warm_up_steps={self.warm_up_steps}; "
+                f"clip with max_block() first"
+            )
         idx = np.stack([
             (self._tail if (self.step + i) % 2 == 0 else self._head)
             ._next_indices()
@@ -394,7 +399,12 @@ class FusedMeshTrainer:
         return fn
 
     def run_block(self, k: int) -> Dict[str, float]:
-        assert k <= self.max_block(k), (k, self.step, self.warm_up_steps)
+        if k > self.max_block(k):
+            raise ValueError(
+                f"run_block(k={k}) would cross the LR-decay boundary: "
+                f"step={self.step}, warm_up_steps={self.warm_up_steps}; "
+                f"clip with max_block() first"
+            )
         local = np.stack([
             (self._tail if (self.step + i) % 2 == 0 else self._head)
             ._next_indices()

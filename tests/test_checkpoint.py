@@ -161,3 +161,28 @@ def test_async_save_failure_surfaces(tmp_path):
     with _pytest.raises(RuntimeError, match="background checkpoint write"):
         ckpt.wait_for_pending_save()
     ckpt.wait_for_pending_save()  # error consumed; next wait is clean
+
+
+def test_check_pending_save_nonblocking(tmp_path):
+    """check_pending_save: raises a prior async-write failure immediately
+    (polled from the train loops' log windows) but never joins a healthy
+    in-flight write (r3 advisor)."""
+    import pytest as _pytest
+    from knowledgegraphembedding_tpu.cli import parse_args
+
+    _, spec, tspec, _ = setup()
+    trainer = Trainer(spec, tspec, kge.init_params(spec, jax.random.PRNGKey(0)),
+                      lr=1e-2, warm_up_steps=10**9)
+    config = parse_args(["--do_train", "--data_path", "x", "-save", "y"])
+
+    ckpt.check_pending_save()  # no pending state: no-op
+
+    bad = os.path.join(str(tmp_path / "blocker2"))
+    open(bad, "w").close()
+    ckpt.save_model(trainer, config, os.path.join(bad, "sub"),
+                    asynchronous=True)
+    ckpt._pending_save.join()  # deterministic: let the failure land
+    with _pytest.raises(RuntimeError, match="background checkpoint write"):
+        ckpt.check_pending_save()
+    ckpt.wait_for_pending_save()  # error consumed; clean afterwards
+    ckpt.check_pending_save()

@@ -142,3 +142,19 @@ def test_device_eval_edge_shapes_match_host(E, chunk, n_test, tb):
                              use_pallas=False, device_filter=True)
     for k in host:
         assert host[k] == dev[k], (k, host[k], dev[k])
+
+
+def test_zero_test_log_steps_does_not_crash():
+    """--test_log_steps 0 must not zero the scan chunk (range step 0) or the
+    progress-log modulus on either eval path (r3 advisor)."""
+    import logging as _logging
+
+    ds, spec, filters, params = _setup()
+    kw = dict(test_batch_size=8, eval_chunk_size=32, use_pallas=False,
+              test_log_steps=0, logger=_logging.getLogger("t"))
+    m_host = eval_mod.test_step(params, spec, ds.test, filters,
+                                device_filter=False, **kw)
+    m_dev = eval_mod.test_step(params, spec, ds.test, filters,
+                               device_filter=True, **kw)
+    for k in m_host:
+        assert m_host[k] == pytest.approx(m_dev[k], abs=1e-9), k

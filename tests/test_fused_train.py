@@ -232,3 +232,14 @@ def test_cli_fused_with_regularization_logs(tmp_path):
     log_text = open(os.path.join(save_dir, "train.log")).read()
     assert "Training average regularization at step 9" in log_text
     assert "Training average regularization at step 19" in log_text
+
+
+def test_run_block_rejects_unclipped_k():
+    """The boundary-clipping contract is a ValueError, not a bare assert:
+    it must hold under PYTHONOPTIMIZE too (r3 advisor)."""
+    ds, spec, tspec, params = _setup()
+    tr = FusedDeviceTrainer(spec, tspec, params, lr=1e-2, warm_up_steps=10,
+                            train=ds.train, seed=0)
+    with pytest.raises(ValueError, match="LR-decay boundary"):
+        tr.run_block(12)  # max_block is 11
+    assert tr.step == 0  # nothing advanced
