@@ -215,9 +215,135 @@ def save_model(trainer: Trainer, config: RunConfig, save_path: str,
     _pending_save.start()
 
 
+# ---------------------------------------------------------------------------
+# Sharded checkpoint IO (SURVEY §5.4 "sharded-friendly format";
+# VERDICT r2 next-round #5). The gather-to-process-0 path above is correct
+# and fine at reference scales (1.9 GB YAGO), but at pod scale the whole
+# fleet stalls while one host serializes the full table. Here every process
+# writes ONLY its addressable blocks of the row-sharded leaves
+# (entity table + its Adam moments) to its own npz —
+# ``checkpoint.shard{p}-of-{n}.npz`` — while process 0 writes the small
+# metadata npz (scalars + replicated leaves + global shapes). No collective,
+# no full-table host copy on ANY process. Restore reads meta + every shard
+# file and reassembles on ANY process count (including a single-process
+# resume of a fleet checkpoint — the block index ranges are stored per
+# block, so layout changes between save and restore are irrelevant).
+
+
+def _shard_suffix(p: int, n: int) -> str:
+    return f"shard{p:05d}-of-{n:05d}.npz"
+
+
+def _host_leaf(val) -> np.ndarray:
+    """Host copy of a REPLICATED leaf without a collective: a replicated
+    global array is not fully addressable on a fleet, but every device's
+    shard holds the full value."""
+    if isinstance(val, jax.Array) and not val.is_fully_addressable:
+        return np.asarray(val.addressable_shards[0].data)
+    return np.asarray(val)
+
+
+def _index_bounds(index, shape) -> np.ndarray:
+    """(slice, slice) -> [r0, r1, c0, c1] with Nones resolved."""
+    r, c = index
+    return np.asarray(
+        [r.start or 0, shape[0] if r.stop is None else r.stop,
+         c.start or 0, shape[1] if c.stop is None else c.stop], np.int64)
+
+
+def _sharded_state_arrays(trainer) -> Tuple[dict, dict]:
+    """(local_blocks, meta_arrays) for the current process. Row-sharded
+    leaves contribute addressable blocks locally; replicated leaves and
+    scalars go to meta (written by process 0 only)."""
+    local: dict = {}
+    meta: dict = {
+        "sharded_shards": np.int64(jax.process_count()),
+        "nentity": np.int64(trainer.spec.nentity),
+        "step": np.int64(trainer.step),
+        "current_learning_rate": np.float64(trainer.current_learning_rate),
+        "warm_up_steps": np.int64(trainer.warm_up_steps),
+        "adam_count": _host_leaf(trainer.opt_state.count),
+    }
+    for prefix, tree in (("param", trainer.params),
+                         ("adam_m", trainer.opt_state.m),
+                         ("adam_v", trainer.opt_state.v)):
+        for name, val in tree.items():
+            key = f"{prefix}.{name}"
+            if isinstance(val, jax.Array) and not val.is_fully_replicated:
+                meta[f"shape:{key}"] = np.asarray(val.shape, np.int64)
+                for i, sh in enumerate(val.addressable_shards):
+                    if sh.replica_id != 0:
+                        continue  # 2-D meshes replicate nothing here, but
+                        # guard against future partial replication
+                    local[f"{key}:block{i}"] = np.asarray(sh.data)
+                    local[f"{key}:index{i}"] = _index_bounds(
+                        sh.index, val.shape)
+            else:
+                meta[key] = _host_leaf(val)
+    return local, meta
+
+
+def save_model_sharded(trainer, config: RunConfig, save_path: str) -> None:
+    """Per-process block writes; no state gather. The .npy table exports
+    are NOT written here (they are inherently full-table artifacts) — the
+    final end-of-training save_model() still produces them once."""
+    wait_for_pending_save()
+    local, meta = _sharded_state_arrays(trainer)
+    os.makedirs(save_path, exist_ok=True)
+    p, n = jax.process_index(), jax.process_count()
+    _atomic_write(
+        os.path.join(save_path, "checkpoint." + _shard_suffix(p, n)),
+        lambda f: np.savez(f, **local),
+    )
+    if p == 0:
+        save_config(config, save_path)
+        _atomic_write(
+            os.path.join(save_path, "checkpoint.npz"),
+            lambda f: np.savez(f, **meta),
+        )
+
+
+def _load_sharded(path: str, meta) -> Tuple[dict, AdamState, int, float, int]:
+    n = int(meta["sharded_shards"])
+    nentity = int(meta["nentity"])
+    full: dict = {}
+    for p in range(n):
+        fname = os.path.join(path, "checkpoint." + _shard_suffix(p, n))
+        z = np.load(fname)
+        blocks = [k for k in z.files if ":block" in k]
+        for bk in blocks:
+            key, bi = bk.rsplit(":block", 1)
+            if key not in full:
+                shape = tuple(int(x) for x in meta[f"shape:{key}"])
+                full[key] = np.empty(shape, z[bk].dtype)
+            r0, r1, c0, c1 = z[f"{key}:index{bi}"]
+            full[key][r0:r1, c0:c1] = z[bk]
+    trees: dict = {"param": {}, "adam_m": {}, "adam_v": {}}
+    for source in (full, {k: meta[k] for k in meta.files
+                          if k.split(".")[0] in trees and ":" not in k}):
+        for key, val in source.items():
+            prefix, name = key.split(".", 1)
+            if name == "entity_embedding":
+                val = val[:nentity]  # strip mesh padding rows
+            trees[prefix][name] = jax.numpy.asarray(val)
+    state = AdamState(count=jax.numpy.asarray(meta["adam_count"]),
+                      m=trees["adam_m"], v=trees["adam_v"])
+    return (
+        trees["param"],
+        state,
+        int(meta["step"]),
+        float(meta["current_learning_rate"]),
+        int(meta["warm_up_steps"]),
+    )
+
+
 def load_checkpoint(path: str) -> Tuple[dict, AdamState, int, float, int]:
-    """Returns (params, adam_state, step, lr, warm_up_steps)."""
+    """Returns (params, adam_state, step, lr, warm_up_steps). Transparently
+    reassembles a per-shard fleet checkpoint (save_model_sharded) on any
+    process count."""
     z = np.load(os.path.join(path, "checkpoint.npz"))
+    if "sharded_shards" in z.files:
+        return _load_sharded(path, z)
     params = {}
     m = {}
     v = {}

@@ -159,6 +159,7 @@ class RunConfig:
     # a mismatched graph. Not a CLI flag.
     data_fingerprint: int = 0
     async_checkpoint: bool = True  # background checkpoint writes (checkpoint.py)
+    sharded_checkpoint: bool = False  # fleets: per-process shard files (checkpoint.py)
     profile_dir: Optional[str] = None  # jax.profiler trace output dir
     eval_filter: str = "auto"  # 'auto' | 'host' | 'device' (device-resident CSR)
     platform: str = "auto"  # 'auto' | 'cpu' | 'tpu' (force the JAX backend)

@@ -1,0 +1,304 @@
+"""Full-shape trajectory parity (VERDICT r2 next-round #1).
+
+The recorded-stream torch-vs-framework harness of
+tests/test_trajectory_parity.py, re-run at the PUBLISHED FB15k-237
+best-config MODEL SHAPE instead of toy dims: RotatE d=1000 ``-de``
+(entity dim 2000), B=1024, n=256, gamma=9.0, adv temp 1.0, lr=5e-5, on an
+E=14,541 / R=237 / ~272k-triple graph — the exact regime of
+``best_config.sh``'s FB15k-237 line. This pins what the toy-dim tests
+cannot: accumulation order over 2000-wide rows, softmax over n=256
+adversarial weights, and the eval path's padding at E=14,541, against the
+torch reference (codes/model.py §train_step ≈L267-330 semantics via
+tests/oracle_torch.py + real torch.optim.Adam).
+
+Two legs (run each in its OWN process — the platform can't switch after
+first device use):
+
+  f32  — torch-CPU f32 vs the ACTUAL CLI on the default platform (the TPU
+         tunnel when present). 40 steps, warm_up=20 so the one-shot LR
+         decay + Adam reset fires mid-run; window losses + pooled filtered
+         test metrics compared.
+  f64  — torch double vs the jitted Trainer under jax_enable_x64 on CPU,
+         B reduced to 128 (affordable at full table width): losses to
+         ~1e-9, params to ~1e-10, filtered ranks of a test subset EQUAL.
+
+Usage:
+    python tools/full_shape_parity.py f32   # chip leg (default platform)
+    python tools/full_shape_parity.py f64   # CPU leg
+
+Each leg prints one JSON line (collected into FULLSHAPE_r03.json) and
+exits non-zero if any band is violated.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+# --- the published FB15k-237 best-config shape (best_config.sh line 1) ---
+E, R, NTRIPLES = 14541, 237, 272115
+D, GAMMA, ADV_TEMP, LR = 1000, 9.0, 1.0, 5e-5
+B, N = 1024, 256
+STEPS, LOG = 40, 10            # warm_up = STEPS//2 = 20: decay fires mid-run
+N_TEST = 2048                  # pooled 4096 (both directions) rank samples
+SEED = 0
+
+B64, STEPS64, LOG64 = 128, 30, 10   # f64 leg: full width, reduced batch
+N_TEST64 = 96
+
+
+def build_pipeline(batch_size: int, steps: int):
+    """Graph + recorded sampler stream at full shape (identical args to what
+    cli.main builds for --sampler_backend numpy --prefetch_depth 0)."""
+    from knowledgegraphembedding_tpu.config import ModelSpec
+    from knowledgegraphembedding_tpu.data.filterset import FilterSets
+    from knowledgegraphembedding_tpu.data.synthetic import make_random_kg
+    from knowledgegraphembedding_tpu.models import kge
+    from knowledgegraphembedding_tpu.sampler import build_train_iterator
+    import jax
+
+    ds = make_random_kg(nentity=E, nrelation=R, ntriples=NTRIPLES,
+                        n_valid=1024, n_test=N_TEST, seed=11)
+    filters = FilterSets.build(
+        ds.train, np.concatenate([ds.train, ds.valid, ds.test]),
+        ds.nentity, ds.nrelation)
+    spec = ModelSpec(
+        model_name="RotatE", nentity=ds.nentity, nrelation=ds.nrelation,
+        hidden_dim=D, gamma=GAMMA, double_entity_embedding=True)
+    it = build_train_iterator(
+        ds.train, ds.nentity, ds.nrelation, batch_size, N, filters,
+        seed=SEED, prefetch_depth=0, backend="numpy")
+    batches = [next(it) for _ in range(steps)]
+    p0 = kge.init_params(spec, jax.random.PRNGKey(SEED))
+    return ds, filters, spec, batches, p0
+
+
+def run_torch(p0, batches, spec, *, dtype, steps, warm_up, log):
+    """The reference loop: Adam(lr); after step >= warm_up -> lr/10 + FRESH
+    Adam + warm_up*=3 (codes/run.py §main ≈L280-340)."""
+    import torch
+    import oracle_torch as oracle
+
+    ent = torch.tensor(np.array(p0["entity_embedding"]), dtype=dtype,
+                       requires_grad=True)
+    rel = torch.tensor(np.array(p0["relation_embedding"]), dtype=dtype,
+                       requires_grad=True)
+    lr, warm = LR, warm_up
+    opt = torch.optim.Adam([ent, rel], lr=lr)
+    windows, acc = [], 0.0
+    for step in range(steps):
+        pos, neg, w, mode = batches[step]
+        loss, _, _ = oracle.loss_fn(
+            ent, rel, torch.from_numpy(np.asarray(pos, np.int64)),
+            torch.from_numpy(np.asarray(neg, np.int64)),
+            torch.from_numpy(np.asarray(w)).to(dtype), mode, "RotatE",
+            GAMMA, spec.embedding_range, adv=True, adv_temp=ADV_TEMP,
+            uni_weight=False)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        acc += float(loss.detach())
+        if (step + 1) % log == 0:
+            windows.append(acc / log)
+            acc = 0.0
+        if step >= warm:
+            lr = lr / 10.0
+            opt = torch.optim.Adam([ent, rel], lr=lr)
+            warm *= 3
+    return ent.detach(), rel.detach(), windows
+
+
+def torch_filtered_ranks(ent, rel, test, filters, spec, batch=16):
+    """Reference test_step ranks straight from the oracle's scores."""
+    import torch
+    import oracle_torch as oracle
+
+    ranks = []
+    with torch.no_grad():
+        for mode in ("head-batch", "tail-batch"):
+            for i in range(0, len(test), batch):
+                posn = np.asarray(test[i:i + batch], np.int64)
+                pos = torch.from_numpy(posn)
+                neg = torch.arange(E).unsqueeze(0).expand(len(pos), E)
+                scores = oracle.forward(ent, rel, pos, neg, mode, "RotatE",
+                                        GAMMA, spec.embedding_range)
+                true = pos[:, 0] if mode == "head-batch" else pos[:, 2]
+                true_score = scores.gather(1, true[:, None])
+                mask = filters.filter_mask_rows(posn.astype(np.int32), mode)[:, :E]
+                beats = ((scores > true_score) & ~torch.from_numpy(mask)
+                         & (torch.arange(E)[None, :] != true[:, None]))
+                ranks.extend((beats.sum(1) + 1).tolist())
+    return np.asarray(ranks, np.float64)
+
+
+def metrics_of(ranks):
+    return {
+        "MRR": float(np.mean(1.0 / ranks)),
+        "MR": float(np.mean(ranks)),
+        "HITS@1": float(np.mean(ranks <= 1)),
+        "HITS@3": float(np.mean(ranks <= 3)),
+        "HITS@10": float(np.mean(ranks <= 10)),
+    }
+
+
+def leg_f32() -> dict:
+    """torch-CPU f32 vs the ACTUAL CLI (default platform = the chip when
+    tunneled) at full shape, identical recorded stream."""
+    import torch
+    import tempfile
+
+    from knowledgegraphembedding_tpu import cli
+    from knowledgegraphembedding_tpu.data.vocab import save_dataset
+
+    t0 = time.time()
+    ds, filters, spec, batches, p0 = build_pipeline(B, STEPS)
+    t_build = time.time() - t0
+
+    t0 = time.time()
+    ent, rel, t_windows = run_torch(
+        p0, batches, spec, dtype=torch.float32, steps=STEPS,
+        warm_up=STEPS // 2, log=LOG)
+    t_torch = time.time() - t0
+    t0 = time.time()
+    t_metrics = metrics_of(torch_filtered_ranks(ent, rel, ds.test, filters, spec))
+    t_torch_eval = time.time() - t0
+
+    tmp = tempfile.mkdtemp(prefix="fullshape_")
+    data_dir, save_dir = os.path.join(tmp, "data"), os.path.join(tmp, "save")
+    save_dataset(ds, data_dir)
+    t0 = time.time()
+    final = cli.main([
+        "--do_train", "--do_test", "--data_path", data_dir, "--model",
+        "RotatE", "-de", "-n", str(N), "-b", str(B), "-d", str(D),
+        "-g", str(GAMMA), "-adv", "-a", str(ADV_TEMP), "-lr", str(LR),
+        "--max_steps", str(STEPS), "--log_steps", str(LOG),
+        "--test_batch_size", "16", "--sampler_backend", "numpy",
+        "--prefetch_depth", "0", "--seed", str(SEED), "-save", save_dir,
+    ])
+    t_cli = time.time() - t0
+    j_metrics = final["test"]
+    log_text = open(os.path.join(save_dir, "train.log")).read()
+    j_windows = [float(x) for x in re.findall(
+        r"Training average loss at step \d+: ([0-9.]+)", log_text)]
+
+    assert len(j_windows) == len(t_windows) == STEPS // LOG
+    w_err = [abs(a - b) for a, b in zip(j_windows, t_windows)]
+    m_err = {k: abs(j_metrics[k] - t_metrics[k])
+             for k in ("MRR", "HITS@1", "HITS@3", "HITS@10")}
+    import jax
+    out = {
+        "leg": "f32_full_shape",
+        "platform": jax.default_backend(),
+        "shape": {"E": E, "R": R, "B": B, "n": N, "d": D, "de": True,
+                  "gamma": GAMMA, "lr": LR, "steps": STEPS,
+                  "warm_up": STEPS // 2},
+        "torch_windows": t_windows, "framework_windows": j_windows,
+        "max_window_abs_err": max(w_err),
+        "torch_metrics": t_metrics,
+        "framework_metrics": {k: j_metrics[k] for k in m_err},
+        "metric_abs_err": m_err,
+        "pooled_rank_samples": 2 * N_TEST,
+        "wall_s": {"build": round(t_build, 1), "torch_train": round(t_torch, 1),
+                   "torch_eval": round(t_torch_eval, 1), "cli": round(t_cli, 1)},
+        # bands: window noise at full shape is pure f32 op-order (semantic
+        # drift moves windows >>1e-2); 4096 pooled ranks -> each flip moves
+        # MRR by ~2.4e-4, so 0.005 allows ~20 borderline flips
+        "pass": bool(max(w_err) <= 2e-3
+                     and all(v <= 0.005 for v in m_err.values())),
+    }
+    return out
+
+
+def leg_f64() -> dict:
+    """torch double vs the jitted Trainer (jax_enable_x64, CPU) at full
+    table/row width, B reduced to 128; ranks must be EQUAL."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import torch
+
+    from knowledgegraphembedding_tpu import eval as eval_mod
+    from knowledgegraphembedding_tpu.config import TrainSpec
+    from knowledgegraphembedding_tpu.train import Trainer
+    import jax.numpy as jnp
+
+    t0 = time.time()
+    ds, filters, spec, batches, p0 = build_pipeline(B64, STEPS64)
+    warm_up = STEPS64 // 2
+    ent, rel, t_windows = run_torch(
+        p0, batches, spec, dtype=torch.float64, steps=STEPS64,
+        warm_up=warm_up, log=LOG64)
+    sub = ds.test[:N_TEST64]
+    t_ranks = torch_filtered_ranks(ent, rel, sub, filters, spec)
+    t_torch = time.time() - t0
+
+    t0 = time.time()
+    p64 = {k: np.asarray(v, np.float64) for k, v in p0.items()}
+    tspec = TrainSpec(
+        negative_sample_size=N, batch_size=B64,
+        negative_adversarial_sampling=True, adversarial_temperature=ADV_TEMP,
+        uni_weight=False, regularization=0.0)
+    trainer = Trainer(spec, tspec, p64, lr=LR, warm_up_steps=warm_up)
+    j_windows, acc = [], 0.0
+    for step in range(STEPS64):
+        pos, neg, w, mode = batches[step]
+        logs = trainer.one_step((
+            jnp.asarray(pos), jnp.asarray(neg),
+            jnp.asarray(np.asarray(w, np.float64)), mode))
+        acc += float(logs["loss"])
+        if (step + 1) % LOG64 == 0:
+            j_windows.append(acc / LOG64)
+            acc = 0.0
+    p_err = {k: float(np.max(np.abs(np.asarray(trainer.params[k], np.float64)
+                                    - {"entity_embedding": ent,
+                                       "relation_embedding": rel}[k].numpy())))
+             for k in ("entity_embedding", "relation_embedding")}
+    # framework ranks via the same host path test_step drives (eval.py
+    # host branch), collected raw for an EXACT comparison
+    chunk = 4096
+    j_ranks = []
+    for mode in ("head-batch", "tail-batch"):
+        for i in range(0, len(sub), 16):
+            pos = np.asarray(sub[i:i + 16], np.int32)
+            mask = jnp.asarray(eval_mod._pad_mask(
+                filters.filter_mask_rows(pos, mode), chunk))
+            r = eval_mod.ranks_batch(
+                trainer.params, jnp.asarray(pos), mask, spec=spec,
+                mode=mode, chunk=chunk)
+            j_ranks.extend(np.asarray(r).tolist())
+    t_jax = time.time() - t0
+
+    j_ranks = np.asarray(j_ranks, np.float64)
+    w_err = [abs(a - b) for a, b in zip(j_windows, t_windows)]
+    rank_mismatches = int(np.sum(j_ranks != t_ranks)) if len(j_ranks) == len(t_ranks) else -1
+    out = {
+        "leg": "f64_full_width",
+        "platform": jax.default_backend(),
+        "shape": {"E": E, "R": R, "B": B64, "n": N, "d": D, "de": True,
+                  "steps": STEPS64, "warm_up": warm_up},
+        "torch_windows": t_windows, "framework_windows": j_windows,
+        "max_window_abs_err": max(w_err),
+        "max_param_abs_err": p_err,
+        "rank_samples": len(t_ranks), "rank_mismatches": rank_mismatches,
+        "wall_s": {"torch": round(t_torch, 1), "framework": round(t_jax, 1)},
+        "pass": bool(max(w_err) <= 1e-8
+                     and all(v <= 1e-9 for v in p_err.values())
+                     and rank_mismatches == 0),
+    }
+    return out
+
+
+if __name__ == "__main__":
+    leg = sys.argv[1] if len(sys.argv) > 1 else "f32"
+    res = leg_f32() if leg == "f32" else leg_f64()
+    print(json.dumps(res))
+    sys.exit(0 if res["pass"] else 1)
