@@ -180,8 +180,11 @@ def test_countries_s1_s2_s3_difficulty_gradient():
                                         warm_up=10**9)
         auc[level] = eval_mod.countries_auc_pr(
             trainer.params, spec, ds.test, ds.regions)
-    # measured (seed 0, border-noise p=0.75): S1 1.000, S2 1.000, S3 0.9968
+    # measured (seed 0, 10 % transcontinental countries with 2 cross-region
+    # borders): S1 1.000, S2 0.9983, S3 0.9681 — the published
+    # 1.000/1.000/0.95 gradient, with S3 decisively off the ceiling
+    # (VERDICT r2 next-round #9: assert S3 <= 0.98, not just S3 <= S1)
     assert auc["S1"] > 0.99, auc
     assert auc["S2"] > 0.99, auc
-    assert 0.90 < auc["S3"] < 0.9995, auc
+    assert 0.90 < auc["S3"] <= 0.98, auc
     assert auc["S3"] < min(auc["S1"], auc["S2"]), auc
