@@ -255,7 +255,12 @@ def _sharded_state_arrays(trainer) -> Tuple[dict, dict]:
     """(local_blocks, meta_arrays) for the current process. Row-sharded
     leaves contribute addressable blocks locally; replicated leaves and
     scalars go to meta (written by process 0 only)."""
-    local: dict = {}
+    # ``step`` is stamped into EVERY shard file as well as the meta npz:
+    # per-file atomic replace cannot make a MULTI-file save atomic, so a
+    # fleet preempted mid-save can leave shard files from two different
+    # saves on disk — the load path hard-errors on a step mismatch instead
+    # of silently resuming a mixed state.
+    local: dict = {"step": np.int64(trainer.step)}
     meta: dict = {
         "sharded_shards": np.int64(jax.process_count()),
         "nentity": np.int64(trainer.spec.nentity),
@@ -273,8 +278,12 @@ def _sharded_state_arrays(trainer) -> Tuple[dict, dict]:
                 meta[f"shape:{key}"] = np.asarray(val.shape, np.int64)
                 for i, sh in enumerate(val.addressable_shards):
                     if sh.replica_id != 0:
-                        continue  # 2-D meshes replicate nothing here, but
-                        # guard against future partial replication
+                        # skip replicas: on a 2-D (data, model) mesh the
+                        # relation table is P(None, 'model') — replicated
+                        # across 'data' — so each column block appears on
+                        # every data row; only replica 0 writes it (the
+                        # guard is load-bearing TODAY, not future-proofing)
+                        continue
                     local[f"{key}:block{i}"] = np.asarray(sh.data)
                     local[f"{key}:index{i}"] = _index_bounds(
                         sh.index, val.shape)
@@ -285,8 +294,10 @@ def _sharded_state_arrays(trainer) -> Tuple[dict, dict]:
 
 def save_model_sharded(trainer, config: RunConfig, save_path: str) -> None:
     """Per-process block writes; no state gather. The .npy table exports
-    are NOT written here (they are inherently full-table artifacts) — the
-    final end-of-training save_model() still produces them once."""
+    are NEVER written in sharded mode (they are inherently full-table
+    artifacts; in --sharded_checkpoint runs even the final save stays
+    shard-per-process) — produce them offline with
+    ``tools/export_tables.py``."""
     wait_for_pending_save()
     local, meta = _sharded_state_arrays(trainer)
     os.makedirs(save_path, exist_ok=True)
@@ -306,18 +317,35 @@ def save_model_sharded(trainer, config: RunConfig, save_path: str) -> None:
 def _load_sharded(path: str, meta) -> Tuple[dict, AdamState, int, float, int]:
     n = int(meta["sharded_shards"])
     nentity = int(meta["nentity"])
+    step = int(meta["step"])
     full: dict = {}
+    filled: dict = {}
     for p in range(n):
         fname = os.path.join(path, "checkpoint." + _shard_suffix(p, n))
         z = np.load(fname)
+        if int(z["step"]) != step:
+            raise RuntimeError(
+                f"sharded checkpoint is inconsistent: {fname} is from step "
+                f"{int(z['step'])} but checkpoint.npz says step {step} — a "
+                "process was likely preempted mid-save; resume from an "
+                "older consistent checkpoint instead of mixing saves")
         blocks = [k for k in z.files if ":block" in k]
         for bk in blocks:
             key, bi = bk.rsplit(":block", 1)
             if key not in full:
                 shape = tuple(int(x) for x in meta[f"shape:{key}"])
                 full[key] = np.empty(shape, z[bk].dtype)
+                filled[key] = 0
             r0, r1, c0, c1 = z[f"{key}:index{bi}"]
             full[key][r0:r1, c0:c1] = z[bk]
+            filled[key] += int(z[bk].size)
+    for key, count in filled.items():
+        want = int(np.prod(full[key].shape))
+        if count != want:
+            raise RuntimeError(
+                f"sharded checkpoint block coverage for {key}: {count} of "
+                f"{want} elements present across {n} shard files — a shard "
+                "file is missing blocks (corrupt or layout-mismatched save)")
     trees: dict = {"param": {}, "adam_m": {}, "adam_v": {}}
     for source in (full, {k: meta[k] for k in meta.files
                           if k.split(".")[0] in trees and ":" not in k}):
@@ -337,10 +365,136 @@ def _load_sharded(path: str, meta) -> Tuple[dict, AdamState, int, float, int]:
     )
 
 
+def is_sharded_checkpoint(path: str) -> bool:
+    try:
+        return "sharded_shards" in np.load(
+            os.path.join(path, "checkpoint.npz")).files
+    except OSError:
+        return False
+
+
+class _BlockCatalog:
+    """Lazy index over a sharded checkpoint's block files.
+
+    npz members decompress on ACCESS, so building the catalog touches only
+    the tiny ``:index`` arrays (+ the step stamps); block payloads load on
+    demand in :meth:`fill_slice` — the mechanism that lets a restoring
+    process read only the bytes its own device shards need."""
+
+    def __init__(self, path: str, n: int, expect_step: int):
+        self._files: dict = {}
+        self._entries: dict = {}  # key -> [(r0, r1, c0, c1, fname, blockkey)]
+        for p in range(n):
+            fname = os.path.join(path, "checkpoint." + _shard_suffix(p, n))
+            z = np.load(fname)
+            if int(z["step"]) != expect_step:
+                raise RuntimeError(
+                    f"sharded checkpoint is inconsistent: {fname} is from "
+                    f"step {int(z['step'])} but checkpoint.npz says step "
+                    f"{expect_step} — a process was likely preempted "
+                    "mid-save; resume from an older consistent checkpoint")
+            self._files[fname] = z
+            for bk in z.files:
+                if ":block" not in bk:
+                    continue
+                key, bi = bk.rsplit(":block", 1)
+                r0, r1, c0, c1 = (int(x) for x in z[f"{key}:index{bi}"])
+                self._entries.setdefault(key, []).append(
+                    (r0, r1, c0, c1, fname, bk))
+
+    def validate_coverage(self, key: str, saved_shape) -> None:
+        """Index-only completeness check (no payload reads): the disjoint
+        blocks must tile the saved array exactly."""
+        total = sum((r1 - r0) * (c1 - c0)
+                    for r0, r1, c0, c1, _, _ in self._entries.get(key, []))
+        want = int(np.prod(saved_shape))
+        if total != want:
+            raise RuntimeError(
+                f"sharded checkpoint block coverage for {key}: {total} of "
+                f"{want} elements indexed across the shard files — a shard "
+                "file is missing blocks (corrupt or layout-mismatched save)")
+
+    def fill_slice(self, key: str, idx, out_shape, dtype) -> np.ndarray:
+        """Assemble the target slice ``idx`` of the (possibly re-padded)
+        global array, reading only intersecting blocks. Rows beyond the
+        saved extent are zeros (mesh padding rows are zero by contract)."""
+        r, c = idx
+        r0t = r.start or 0
+        r1t = out_shape[0] if r.stop is None else r.stop
+        c0t = c.start or 0
+        c1t = out_shape[1] if c.stop is None else c.stop
+        out = np.zeros((r1t - r0t, c1t - c0t), dtype)
+        for br0, br1, bc0, bc1, fname, bk in self._entries.get(key, []):
+            ir0, ir1 = max(br0, r0t), min(br1, r1t)
+            ic0, ic1 = max(bc0, c0t), min(bc1, c1t)
+            if ir0 < ir1 and ic0 < ic1:
+                block = self._files[fname][bk]
+                out[ir0 - r0t:ir1 - r0t, ic0 - c0t:ic1 - c0t] = (
+                    block[ir0 - br0:ir1 - br0, ic0 - bc0:ic1 - bc0])
+        return out
+
+
+def restore_trainer_sharded(trainer, path: str) -> None:
+    """PROCESS-LOCAL restore of a mesh trainer from a per-shard checkpoint:
+    each process materializes only its addressable device shards via
+    ``jax.make_array_from_callback`` over the lazy block catalog — no
+    process ever holds (or reads) the full table, which is the restore-side
+    half of the pod-scale contract (``save_model_sharded`` is the save-side
+    half; the generic ``load_checkpoint`` path still exists for
+    single-device resumes and reassembles in host RAM).
+
+    Works across LAYOUT CHANGES: the saved process/device count and row
+    padding may differ from the restoring mesh — blocks are addressed by
+    global row/col ranges, and rows beyond the saved extent are zeros
+    (padding rows are zero by the pad_params contract)."""
+    import jax.numpy as jnp
+
+    meta = np.load(os.path.join(path, "checkpoint.npz"))
+    if "sharded_shards" not in meta.files:
+        raise ValueError(
+            f"{path} is not a sharded checkpoint; use load_checkpoint")
+    step = int(meta["step"])
+    cat = _BlockCatalog(path, int(meta["sharded_shards"]), step)
+
+    def build(key, template):
+        saved_shape = tuple(int(x) for x in meta[f"shape:{key}"])
+        cat.validate_coverage(key, saved_shape)
+        return jax.make_array_from_callback(
+            template.shape, template.sharding,
+            lambda idx: cat.fill_slice(key, idx, template.shape,
+                                       template.dtype))
+
+    def restore_tree(prefix, tree):
+        out = {}
+        for name, val in tree.items():
+            key = f"{prefix}.{name}"
+            if f"shape:{key}" in meta.files:
+                out[name] = build(key, val)
+            else:
+                host = np.asarray(meta[key])
+                out[name] = jax.make_array_from_callback(
+                    val.shape, val.sharding, lambda idx, h=host: h[idx])
+        return out
+
+    trainer.params = restore_tree("param", trainer.params)
+    count = np.asarray(meta["adam_count"])
+    tmpl = trainer.opt_state.count
+    trainer.opt_state = AdamState(
+        count=jax.make_array_from_callback(
+            tmpl.shape, tmpl.sharding, lambda idx: count[idx]),
+        m=restore_tree("adam_m", trainer.opt_state.m),
+        v=restore_tree("adam_v", trainer.opt_state.v),
+    )
+    trainer.step = step
+    trainer.current_learning_rate = float(meta["current_learning_rate"])
+    trainer.warm_up_steps = int(meta["warm_up_steps"])
+
+
 def load_checkpoint(path: str) -> Tuple[dict, AdamState, int, float, int]:
     """Returns (params, adam_state, step, lr, warm_up_steps). Transparently
     reassembles a per-shard fleet checkpoint (save_model_sharded) on any
-    process count."""
+    process count (in host RAM — mesh trainers should prefer the
+    process-local ``restore_trainer_sharded``)."""
     z = np.load(os.path.join(path, "checkpoint.npz"))
     if "sharded_shards" in z.files:
         return _load_sharded(path, z)

@@ -395,10 +395,18 @@ def main(argv=None) -> dict:
     if config.init_checkpoint:
         logging.info("Loading checkpoint %s...", config.init_checkpoint)
         if mesh is not None:
-            p0, s0, step0, lr0, wu0 = ckpt_mod.load_checkpoint(config.init_checkpoint)
-            trainer.load_host_state(p0, s0, step0, lr0, wu0)
             from .parallel import multihost
 
+            if ckpt_mod.is_sharded_checkpoint(config.init_checkpoint):
+                # process-local: each host reads only the blocks its own
+                # device shards need (no full-table host copy anywhere)
+                ckpt_mod.restore_trainer_sharded(trainer, config.init_checkpoint)
+                step0, lr0, wu0 = (trainer.step, trainer.current_learning_rate,
+                                   trainer.warm_up_steps)
+            else:
+                p0, s0, step0, lr0, wu0 = ckpt_mod.load_checkpoint(
+                    config.init_checkpoint)
+                trainer.load_host_state(p0, s0, step0, lr0, wu0)
             multihost.verify_consistent_restore(step0, lr0, wu0)
         else:
             ckpt_mod.restore_trainer(trainer, config.init_checkpoint)

@@ -115,8 +115,11 @@ def get_device_filter(filters: FilterSets, mesh=None) -> "DeviceFilter":
 # CALLBACK drops its entry (and padded table) the moment training
 # replaces the params buffer — merely checking liveness on the next
 # lookup would pin the stale copy in HBM for the whole inter-validation
-# interval.
-_RANKER_CACHE_MAX = 4
+# interval. The cap is a deliberate HBM budget: each live entry pins one
+# padded table copy (~1 GB at YAGO d=1000), so 2 covers the common
+# two-model alternation while bounding worst-case pinning at one extra
+# table vs the r2 single slot.
+_RANKER_CACHE_MAX = 2
 _pallas_ranker_cache: dict = {}  # {(id(table), spec): (weakref(table), ranker)}
 
 

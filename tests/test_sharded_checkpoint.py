@@ -112,6 +112,73 @@ def test_sharded_checkpoint_restores_into_trainer(tmp_path):
         np.testing.assert_array_equal(p1[k], p2[k], err_msg=k)
 
 
+def test_process_local_restore_across_layout_change(tmp_path):
+    """restore_trainer_sharded: save on an 8-row mesh (Epad=72 for E=67),
+    restore onto a 4-row mesh (Epad=68) — blocks re-map by global row
+    ranges, padding rows stay zero, and the state is bit-exact vs the
+    gathered reference. This is the process-local path the CLI uses for
+    mesh trainers (no full-table host copy)."""
+    trainer = _mk_trainer(sharding.build_mesh(8))
+    ckpt_mod.save_model_sharded(trainer, _config(tmp_path), str(tmp_path))
+    p_ref, s_ref = trainer.checkpoint_state()
+
+    mesh4 = sharding.build_mesh(4)
+    restored = sharding.ShardedTrainer(
+        trainer.spec, trainer.tspec,
+        kge.init_params(trainer.spec, jax.random.PRNGKey(99)),
+        lr=0.5, warm_up_steps=1, mesh=mesh4,
+    )
+    ckpt_mod.restore_trainer_sharded(restored, str(tmp_path))
+    assert restored.step == trainer.step
+    assert restored.current_learning_rate == trainer.current_learning_rate
+    assert restored.warm_up_steps == trainer.warm_up_steps
+    p2, s2 = restored.checkpoint_state()
+    for k in p_ref:
+        np.testing.assert_array_equal(p2[k], p_ref[k], err_msg=k)
+    for k in s_ref.m:
+        np.testing.assert_array_equal(np.asarray(s2.m[k]), s_ref.m[k], err_msg=k)
+        np.testing.assert_array_equal(np.asarray(s2.v[k]), s_ref.v[k], err_msg=k)
+    # padding rows on the new layout are zero (the pad_params contract the
+    # regularizer + zero-gradient invariants rely on)
+    full = np.asarray(restored.params["entity_embedding"])
+    assert full.shape[0] == 68
+    np.testing.assert_array_equal(full[67:], 0.0)
+
+
+def test_mixed_save_detected(tmp_path):
+    """A shard file from a DIFFERENT step than the meta npz (mid-save
+    preemption on a fleet) must hard-error on BOTH load paths, not
+    silently resume a Frankenstein state."""
+    trainer = _mk_trainer(sharding.build_mesh(8))
+    ckpt_mod.save_model_sharded(trainer, _config(tmp_path), str(tmp_path))
+    shard = tmp_path / "checkpoint.shard00000-of-00001.npz"
+    z = dict(np.load(shard))
+    z["step"] = np.int64(int(z["step"]) - 1)  # stale shard from prior save
+    np.savez(shard, **z)
+    with pytest.raises(RuntimeError, match="inconsistent"):
+        ckpt_mod.load_checkpoint(str(tmp_path))
+    with pytest.raises(RuntimeError, match="inconsistent"):
+        ckpt_mod.restore_trainer_sharded(trainer, str(tmp_path))
+
+
+def test_missing_blocks_detected(tmp_path):
+    """Dropped blocks (truncated / layout-mismatched shard file) must
+    hard-error instead of resuming with uninitialized or zero rows."""
+    trainer = _mk_trainer(sharding.build_mesh(8))
+    ckpt_mod.save_model_sharded(trainer, _config(tmp_path), str(tmp_path))
+    shard = tmp_path / "checkpoint.shard00000-of-00001.npz"
+    z = dict(np.load(shard))
+    removed = [k for k in z if k.startswith("param.entity_embedding:block3")]
+    for k in removed:
+        del z[k]
+    assert removed
+    np.savez(shard, **z)
+    with pytest.raises(RuntimeError, match="coverage"):
+        ckpt_mod.load_checkpoint(str(tmp_path))
+    with pytest.raises(RuntimeError, match="coverage"):
+        ckpt_mod.restore_trainer_sharded(trainer, str(tmp_path))
+
+
 def test_export_tables_from_sharded(tmp_path):
     """tools/export_tables.py reassembles the .npy serving artifacts the
     sharded saves deliberately skip (reference codes/run.py §save_model)."""

@@ -41,11 +41,9 @@ def main(argv=None) -> int:
     os.makedirs(out, exist_ok=True)
     for name in ("entity_embedding", "relation_embedding"):
         path = os.path.join(out, f"{name}.npy")
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            np.save(f, np.asarray(params[name]))
-        os.replace(tmp, path)
-        print(f"wrote {path} {np.asarray(params[name]).shape} (step {step})")
+        arr = np.asarray(params[name])
+        ckpt._atomic_write(path, lambda f: np.save(f, arr))
+        print(f"wrote {path} {arr.shape} (step {step})")
     return 0
 
 
