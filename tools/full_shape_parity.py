@@ -152,7 +152,11 @@ def metrics_of(ranks):
 
 def leg_f32() -> dict:
     """torch-CPU f32 vs the ACTUAL CLI (default platform = the chip when
-    tunneled) at full shape, identical recorded stream."""
+    tunneled) at full shape, identical recorded stream.
+
+    The torch side costs hours on a 1-core host, so its outputs (windows +
+    pooled metrics) are cached on disk keyed by the shape constants; a
+    tunnel flap during the CLI side then only re-pays the CLI minutes."""
     import torch
     import tempfile
 
@@ -164,17 +168,38 @@ def leg_f32() -> dict:
     t_build = time.time() - t0
     print(f"[f32] pipeline built in {t_build:.0f}s", file=sys.stderr, flush=True)
 
-    t0 = time.time()
-    ent, rel, t_windows = run_torch(
-        p0, batches, spec, dtype=torch.float32, steps=STEPS,
-        warm_up=STEPS // 2, log=LOG)
-    t_torch = time.time() - t0
-    print(f"[f32] torch train done in {t_torch:.0f}s", file=sys.stderr, flush=True)
-    t0 = time.time()
-    t_metrics = metrics_of(torch_filtered_ranks(ent, rel, ds.test, filters, spec))
-    t_torch_eval = time.time() - t0
-    print(f"[f32] torch eval done in {t_torch_eval:.0f}s", file=sys.stderr,
-          flush=True)
+    cache = os.path.join(
+        REPO, f"tools/.fullshape_f32_E{E}_B{B}_n{N}_d{D}_s{STEPS}_seed{SEED}.npz")
+    if os.path.exists(cache):
+        z = np.load(cache)
+        t_windows = z["windows"].tolist()
+        t_metrics = {k: float(z[k]) for k in
+                     ("MRR", "MR", "HITS@1", "HITS@3", "HITS@10")}
+        t_torch, t_torch_eval = float(z["t_train"]), float(z["t_eval"])
+        print(f"[f32] torch leg loaded from cache {cache}", file=sys.stderr,
+              flush=True)
+    else:
+        t0 = time.time()
+        ent, rel, t_windows = run_torch(
+            p0, batches, spec, dtype=torch.float32, steps=STEPS,
+            warm_up=STEPS // 2, log=LOG)
+        t_torch = time.time() - t0
+        print(f"[f32] torch train done in {t_torch:.0f}s", file=sys.stderr,
+              flush=True)
+        t0 = time.time()
+        t_metrics = metrics_of(
+            torch_filtered_ranks(ent, rel, ds.test, filters, spec))
+        t_torch_eval = time.time() - t0
+        print(f"[f32] torch eval done in {t_torch_eval:.0f}s", file=sys.stderr,
+              flush=True)
+        np.savez(cache, windows=np.asarray(t_windows), t_train=t_torch,
+                 t_eval=t_torch_eval, **t_metrics)
+
+    if "--torch-only" in sys.argv:
+        # populate the cache while the tunnel is down; rerun without the
+        # flag once the chip answers — the torch hours are then amortized
+        print(f"[f32] --torch-only: cache ready at {cache}", file=sys.stderr)
+        return {"leg": "f32_torch_only", "cache": cache, "pass": True}
 
     tmp = tempfile.mkdtemp(prefix="fullshape_")
     data_dir, save_dir = os.path.join(tmp, "data"), os.path.join(tmp, "save")
