@@ -393,7 +393,7 @@ def main():
 
 
 if __name__ == "__main__":
-    if "--matrix" in sys.argv:
+    if "--matrix" in sys.argv or "matrix" in sys.argv[1:]:
         matrix()
     else:
         main()

@@ -82,20 +82,46 @@ def build_pipeline(batch_size: int, steps: int):
     return ds, filters, spec, batches, p0
 
 
-def run_torch(p0, batches, spec, *, dtype, steps, warm_up, log):
+def _atomic_torch_save(obj, path):
+    import torch
+
+    tmp = path + ".tmp"
+    torch.save(obj, tmp)
+    os.replace(tmp, path)
+
+
+def run_torch(p0, batches, spec, *, dtype, steps, warm_up, log,
+              ckpt_path=None, save_every=2):
     """The reference loop: Adam(lr); after step >= warm_up -> lr/10 + FRESH
-    Adam + warm_up*=3 (codes/run.py §main ≈L280-340)."""
+    Adam + warm_up*=3 (codes/run.py §main ≈L280-340).
+
+    With ckpt_path, progress (params + Adam state_dict + lr/warm/windows) is
+    torch.saved atomically every ``save_every`` steps and resumed on restart
+    — the f32 leg costs hours of single-core torch, and losing it to a
+    session/round boundary would forfeit the whole cache."""
     import torch
     import oracle_torch as oracle
 
-    ent = torch.tensor(np.array(p0["entity_embedding"]), dtype=dtype,
-                       requires_grad=True)
-    rel = torch.tensor(np.array(p0["relation_embedding"]), dtype=dtype,
-                       requires_grad=True)
-    lr, warm = LR, warm_up
-    opt = torch.optim.Adam([ent, rel], lr=lr)
-    windows, acc = [], 0.0
-    for step in range(steps):
+    start = 0
+    if ckpt_path and os.path.exists(ckpt_path):
+        st = torch.load(ckpt_path, weights_only=False)
+        ent = st["ent"].requires_grad_(True)
+        rel = st["rel"].requires_grad_(True)
+        lr, warm = st["lr"], st["warm"]
+        opt = torch.optim.Adam([ent, rel], lr=lr)
+        opt.load_state_dict(st["opt"])
+        windows, acc, start = st["windows"], st["acc"], st["step"]
+        print(f"[f32] torch leg resumed at step {start}/{steps}",
+              file=sys.stderr, flush=True)
+    else:
+        ent = torch.tensor(np.array(p0["entity_embedding"]), dtype=dtype,
+                           requires_grad=True)
+        rel = torch.tensor(np.array(p0["relation_embedding"]), dtype=dtype,
+                           requires_grad=True)
+        lr, warm = LR, warm_up
+        opt = torch.optim.Adam([ent, rel], lr=lr)
+        windows, acc = [], 0.0
+    for step in range(start, steps):
         pos, neg, w, mode = batches[step]
         loss, _, _ = oracle.loss_fn(
             ent, rel, torch.from_numpy(np.asarray(pos, np.int64)),
@@ -114,29 +140,49 @@ def run_torch(p0, batches, spec, *, dtype, steps, warm_up, log):
             lr = lr / 10.0
             opt = torch.optim.Adam([ent, rel], lr=lr)
             warm *= 3
+        if ckpt_path and ((step + 1) % save_every == 0 or step == steps - 1):
+            _atomic_torch_save(
+                {"ent": ent.detach().clone(), "rel": rel.detach().clone(),
+                 "opt": opt.state_dict(), "lr": lr, "warm": warm,
+                 "windows": windows, "acc": acc, "step": step + 1}, ckpt_path)
+            print(f"[f32] torch step {step + 1}/{steps} checkpointed",
+                  file=sys.stderr, flush=True)
     return ent.detach(), rel.detach(), windows
 
 
-def torch_filtered_ranks(ent, rel, test, filters, spec, batch=32):
-    """Reference test_step ranks straight from the oracle's scores."""
+def torch_filtered_ranks(ent, rel, test, filters, spec, batch=32,
+                         ckpt_path=None, save_every=8):
+    """Reference test_step ranks straight from the oracle's scores.
+
+    With ckpt_path the (mode, batch) units completed so far are persisted
+    so an interrupted full-shape eval resumes instead of restarting."""
     import torch
     import oracle_torch as oracle
 
-    ranks = []
+    units = [(mode, i) for mode in ("head-batch", "tail-batch")
+             for i in range(0, len(test), batch)]
+    ranks, done = [], 0
+    if ckpt_path and os.path.exists(ckpt_path):
+        st = torch.load(ckpt_path, weights_only=False)
+        ranks, done = st["ranks"], st["done"]
+        print(f"[f32] torch eval resumed at unit {done}/{len(units)}",
+              file=sys.stderr, flush=True)
     with torch.no_grad():
-        for mode in ("head-batch", "tail-batch"):
-            for i in range(0, len(test), batch):
-                posn = np.asarray(test[i:i + batch], np.int64)
-                pos = torch.from_numpy(posn)
-                neg = torch.arange(E).unsqueeze(0).expand(len(pos), E)
-                scores = oracle.forward(ent, rel, pos, neg, mode, "RotatE",
-                                        GAMMA, spec.embedding_range)
-                true = pos[:, 0] if mode == "head-batch" else pos[:, 2]
-                true_score = scores.gather(1, true[:, None])
-                mask = filters.filter_mask_rows(posn.astype(np.int32), mode)[:, :E]
-                beats = ((scores > true_score) & ~torch.from_numpy(mask)
-                         & (torch.arange(E)[None, :] != true[:, None]))
-                ranks.extend((beats.sum(1) + 1).tolist())
+        for u in range(done, len(units)):
+            mode, i = units[u]
+            posn = np.asarray(test[i:i + batch], np.int64)
+            pos = torch.from_numpy(posn)
+            neg = torch.arange(E).unsqueeze(0).expand(len(pos), E)
+            scores = oracle.forward(ent, rel, pos, neg, mode, "RotatE",
+                                    GAMMA, spec.embedding_range)
+            true = pos[:, 0] if mode == "head-batch" else pos[:, 2]
+            true_score = scores.gather(1, true[:, None])
+            mask = filters.filter_mask_rows(posn.astype(np.int32), mode)[:, :E]
+            beats = ((scores > true_score) & ~torch.from_numpy(mask)
+                     & (torch.arange(E)[None, :] != true[:, None]))
+            ranks.extend((beats.sum(1) + 1).tolist())
+            if ckpt_path and ((u + 1) % save_every == 0 or u == len(units) - 1):
+                _atomic_torch_save({"ranks": ranks, "done": u + 1}, ckpt_path)
     return np.asarray(ranks, np.float64)
 
 
@@ -182,18 +228,22 @@ def leg_f32() -> dict:
         t0 = time.time()
         ent, rel, t_windows = run_torch(
             p0, batches, spec, dtype=torch.float32, steps=STEPS,
-            warm_up=STEPS // 2, log=LOG)
+            warm_up=STEPS // 2, log=LOG, ckpt_path=cache + ".train.ckpt")
         t_torch = time.time() - t0
         print(f"[f32] torch train done in {t_torch:.0f}s", file=sys.stderr,
               flush=True)
         t0 = time.time()
         t_metrics = metrics_of(
-            torch_filtered_ranks(ent, rel, ds.test, filters, spec))
+            torch_filtered_ranks(ent, rel, ds.test, filters, spec,
+                                 ckpt_path=cache + ".eval.ckpt"))
         t_torch_eval = time.time() - t0
         print(f"[f32] torch eval done in {t_torch_eval:.0f}s", file=sys.stderr,
               flush=True)
         np.savez(cache, windows=np.asarray(t_windows), t_train=t_torch,
                  t_eval=t_torch_eval, **t_metrics)
+        for suffix in (".train.ckpt", ".eval.ckpt"):
+            if os.path.exists(cache + suffix):
+                os.remove(cache + suffix)
 
     if "--torch-only" in sys.argv:
         # populate the cache while the tunnel is down; rerun without the
