@@ -98,6 +98,28 @@ def _floor_seconds(trainer, spec, tspec, B, n, negative_sharing):
     return t_mm + t_adam + gather_scatter(2 * B)
 
 
+_DS_CACHE = {}
+
+
+def _dataset(nentity, nrelation, ntriples):
+    """(ds, filters) for one synthetic graph. The matrix measures many
+    configurations on the SAME graph; the 272k-1.08M-triple build +
+    FilterSets CSR cost minutes of single-core host time per call and are
+    read-only downstream, so cache them per shape."""
+    from knowledgegraphembedding_tpu.data.filterset import FilterSets
+    from knowledgegraphembedding_tpu.data.synthetic import make_random_kg
+
+    key = (nentity, nrelation, ntriples)
+    if key not in _DS_CACHE:
+        ds = make_random_kg(nentity=nentity, nrelation=nrelation,
+                            ntriples=ntriples, n_valid=1000, n_test=1000,
+                            seed=0)
+        filters = FilterSets.build(ds.train, ds.all_true_triples,
+                                   ds.nentity, ds.nrelation)
+        _DS_CACHE[key] = (ds, filters)
+    return _DS_CACHE[key]
+
+
 def _measure_train(model="RotatE", scoring="auto", precision="f32",
                    negative_sharing="none", B=1024, n=256, d=1000,
                    n_steps=50, sampler_backend="auto",
@@ -108,14 +130,11 @@ def _measure_train(model="RotatE", scoring="auto", precision="f32",
     #1: an earlier //2 understated the sampler-side load at the stated
     scale)."""
     from knowledgegraphembedding_tpu.config import ModelSpec, TrainSpec
-    from knowledgegraphembedding_tpu.data.filterset import FilterSets
-    from knowledgegraphembedding_tpu.data.synthetic import make_random_kg
     from knowledgegraphembedding_tpu.models import kge
     from knowledgegraphembedding_tpu.sampler import build_train_iterator
     from knowledgegraphembedding_tpu.train import Trainer
 
-    ds = make_random_kg(nentity=nentity, nrelation=nrelation,
-                        ntriples=ntriples, n_valid=1000, n_test=1000, seed=0)
+    ds, filters = _dataset(nentity, nrelation, ntriples)
     spec = ModelSpec(
         model_name=model, nentity=ds.nentity, nrelation=ds.nrelation,
         hidden_dim=d, gamma=9.0,
@@ -127,7 +146,6 @@ def _measure_train(model="RotatE", scoring="auto", precision="f32",
         negative_adversarial_sampling=True, adversarial_temperature=1.0,
         scoring=scoring, precision=precision,
     )
-    filters = FilterSets.build(ds.train, ds.all_true_triples, ds.nentity, ds.nrelation)
     params = kge.init_params(spec, jax.random.PRNGKey(0))
     trainer = Trainer(spec, tspec, params, lr=5e-5, warm_up_steps=10**9)
     it = build_train_iterator(
@@ -167,12 +185,10 @@ def _measure_fused(model="RotatE", scoring="auto", precision="f32",
                    k=16, n_steps=64):
     """Fused k-step-block throughput (--steps_per_dispatch k)."""
     from knowledgegraphembedding_tpu.config import ModelSpec, TrainSpec
-    from knowledgegraphembedding_tpu.data.synthetic import make_random_kg
     from knowledgegraphembedding_tpu.fused_train import FusedDeviceTrainer
     from knowledgegraphembedding_tpu.models import kge
 
-    ds = make_random_kg(nentity=14541, nrelation=237, ntriples=272115,
-                        n_valid=1000, n_test=1000, seed=0)
+    ds, _ = _dataset(14541, 237, 272115)
     spec = ModelSpec(
         model_name=model, nentity=ds.nentity, nrelation=ds.nrelation,
         hidden_dim=d, gamma=9.0,

@@ -377,9 +377,24 @@ def leg_f64() -> dict:
 
 
 if __name__ == "__main__":
+    for i, a in enumerate(sys.argv):
+        if a == "--B":
+            # reduced-batch variant of the f32 leg (still full d=1000 -de
+            # row width, n=256 softmax, E=14,541 eval padding — only the
+            # batch-dim accumulation differs from the published B=1024);
+            # cache/ckpt files are keyed by B so variants coexist
+            B = int(sys.argv[i + 1])
+            sys.argv[i:i + 2] = []
+            break
     legs = [a for a in sys.argv[1:] if not a.startswith("-")]
-    if len(legs) > 1 or (legs and legs[0] not in ("f32", "f64")):
-        sys.exit(f"usage: {sys.argv[0]} [f32|f64] [--cpu]  (got {sys.argv[1:]})")
+    known_flags = {"--cpu", "--torch-only"}
+    unknown = [a for a in sys.argv[1:]
+               if a.startswith("-") and a not in known_flags]
+    if unknown or len(legs) > 1 or (legs and legs[0] not in ("f32", "f64")):
+        # unknown flags (incl. --help) must NOT fall through to a
+        # multi-hour default run
+        sys.exit(f"usage: {sys.argv[0]} [f32|f64] [--cpu] [--torch-only]"
+                 f" [--B n]  (got {sys.argv[1:]})")
     leg = legs[0] if legs else "f32"
     if "--cpu" in sys.argv:
         # fallback when the TPU tunnel is unreachable: the f32 leg is still
