@@ -151,11 +151,20 @@ def run_torch(p0, batches, spec, *, dtype, steps, warm_up, log,
 
 
 def torch_filtered_ranks(ent, rel, test, filters, spec, batch=32,
-                         ckpt_path=None, save_every=8):
+                         ckpt_path=None, save_every=8, e_chunk=1024):
     """Reference test_step ranks straight from the oracle's scores.
 
     With ckpt_path the (mode, batch) units completed so far are persisted
-    so an interrupted full-shape eval resumes instead of restarting."""
+    so an interrupted full-shape eval resumes instead of restarting.
+
+    The candidate axis is walked in ``e_chunk``-wide slices: a whole-E
+    RotatE forward at d=1000 ``-de`` materializes ~2 GB temporaries per op,
+    and glibc serves every >32 MB malloc with a fresh mmap — the measured
+    unchunked profile was 5:1 system:user time (57 M minor faults, page
+    zeroing dominating). Per-column scores are bit-identical under
+    chunking (gather + elementwise + a within-row d-reduction), so ranks
+    are unchanged; the true score is the chunk-of-1 column, the same math
+    the full row would produce."""
     import torch
     import oracle_torch as oracle
 
@@ -172,15 +181,21 @@ def torch_filtered_ranks(ent, rel, test, filters, spec, batch=32,
             mode, i = units[u]
             posn = np.asarray(test[i:i + batch], np.int64)
             pos = torch.from_numpy(posn)
-            neg = torch.arange(E).unsqueeze(0).expand(len(pos), E)
-            scores = oracle.forward(ent, rel, pos, neg, mode, "RotatE",
-                                    GAMMA, spec.embedding_range)
             true = pos[:, 0] if mode == "head-batch" else pos[:, 2]
-            true_score = scores.gather(1, true[:, None])
-            mask = filters.filter_mask_rows(posn.astype(np.int32), mode)[:, :E]
-            beats = ((scores > true_score) & ~torch.from_numpy(mask)
-                     & (torch.arange(E)[None, :] != true[:, None]))
-            ranks.extend((beats.sum(1) + 1).tolist())
+            true_score = oracle.forward(
+                ent, rel, pos, true[:, None], mode, "RotatE", GAMMA,
+                spec.embedding_range)
+            mask = torch.from_numpy(
+                filters.filter_mask_rows(posn.astype(np.int32), mode)[:, :E])
+            beats = torch.zeros(len(pos), dtype=torch.int64)
+            for c0 in range(0, E, e_chunk):
+                idx = torch.arange(c0, min(c0 + e_chunk, E))
+                neg = idx.unsqueeze(0).expand(len(pos), len(idx))
+                sc = oracle.forward(ent, rel, pos, neg, mode, "RotatE",
+                                    GAMMA, spec.embedding_range)
+                beats += ((sc > true_score) & ~mask[:, c0:c0 + len(idx)]
+                          & (idx[None, :] != true[:, None])).sum(1)
+            ranks.extend((beats + 1).tolist())
             if ckpt_path and ((u + 1) % save_every == 0 or u == len(units) - 1):
                 _atomic_torch_save({"ranks": ranks, "done": u + 1}, ckpt_path)
     return np.asarray(ranks, np.float64)
