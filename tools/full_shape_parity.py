@@ -392,6 +392,16 @@ def leg_f64() -> dict:
 
 
 if __name__ == "__main__":
+    if "MALLOC_MMAP_THRESHOLD_" not in os.environ:
+        # full-shape torch temporaries run 0.25-2.1 GB; glibc mmaps every
+        # allocation that big, and the measured profile was 5:1 sys:user
+        # (page zeroing). A large threshold keeps them heap-reusable; it
+        # must be set via env BEFORE glibc's first malloc parses it (and
+        # mallopt() is int-capped at 2 GB-1, too small for the B=1024
+        # train leg), so re-exec once with it set.
+        os.environ["MALLOC_MMAP_THRESHOLD_"] = str(8 << 30)
+        os.environ["MALLOC_TRIM_THRESHOLD_"] = str(1 << 30)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
     for i, a in enumerate(sys.argv):
         if a == "--B":
             # reduced-batch variant of the f32 leg (still full d=1000 -de
