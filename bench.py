@@ -17,12 +17,19 @@ roofline view (~0.10, gather-floor bound — see BENCH_NOTES.md) is kept in
 the notes.
 """
 
+import faulthandler
 import json
 import os
+import signal
 import sys
 import time
 
 import numpy as np
+
+# live stack dump on demand (`kill -USR1 <pid>`): the matrix runs tens of
+# minutes on a tunneled chip and a stall needs to be attributable without
+# a debugger in the image
+faulthandler.register(signal.SIGUSR1)
 
 import jax
 import jax.numpy as jnp
@@ -34,16 +41,25 @@ from knowledgegraphembedding_tpu.utils import compile_cache
 compile_cache.enable()
 
 
-def _time_op(fn, *args, probe_of=None, reps=10):
-    """Steady-state seconds/call, fenced through the 4-byte probe (the
-    tunnel dispatches fully async; block_until_ready returns early)."""
-    probe = jax.jit(lambda x: jnp.sum(jnp.ravel(x)[:1]))
-    out = fn(*args)
-    float(probe(out if probe_of is None else probe_of(out)))
+def _time_loop(body, init, reps=30):
+    """Seconds/iteration of ``body`` run ``reps`` times INSIDE one jitted
+    fori_loop program, fenced through a 4-byte probe (the tunnel dispatches
+    fully async; block_until_ready returns early).
+
+    Timing ops call-by-call inflates sub-ms kernels by the tunnel's
+    per-dispatch host overhead (~1-3 ms each): the first r3 matrix pass
+    measured dense-path "floors" LARGER than the real fused step that way
+    (fractions 1.3-1.6). One dispatch per 30 device-side iterations makes
+    the overhead per-iteration negligible. Each body iteration is
+    data-dependent on the previous carry so XLA cannot hoist or CSE the
+    repeated op out of the loop."""
+    run = jax.jit(lambda x: jax.lax.fori_loop(0, reps, body, x))
+    probe = jax.jit(lambda x: jnp.sum(jnp.ravel(x[0])[:1]))
+    out = run(init)          # compile + warm
+    float(probe(out))
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    float(probe(out if probe_of is None else probe_of(out)))
+    out = run(init)
+    float(probe(out))
     return (time.perf_counter() - t0) / reps
 
 
@@ -52,9 +68,10 @@ def _floor_seconds(trainer, spec, tspec, B, n, negative_sharing):
     access pattern (VERDICT r2 next-round #4 — every published number gets
     a floor fraction, not just the headline shape):
 
-    gather path       — the two irreducible random-access passes: the
-                        B*(n+2)-row forward gather and the same-size
-                        backward scatter-add.
+    gather path       — the two irreducible random-access passes at the
+                        step's compute dtype (bf16 rows move half the HBM
+                        bytes): the B*(n+2)-row forward gather and the
+                        same-size backward scatter-add.
     shared negatives  — same passes at the reduced 2B+n row count.
     dense MXU path    — no per-negative rows at all; the floor is the
                         three step-shape matmuls ([B,d]x[d,E] forward,
@@ -67,35 +84,64 @@ def _floor_seconds(trainer, spec, tspec, B, n, negative_sharing):
     table = trainer.params["entity_embedding"]
     E_log = spec.nentity
     de = table.shape[1]
-    rng = np.random.default_rng(1)
+    cdt = jnp.bfloat16 if tspec.precision == "bf16" else jnp.float32
+    # ALL probe data is generated ON the device. A host-side
+    # rng.normal((rows, de)) is gigabytes of f64 RNG plus a multi-GB
+    # transfer through the TPU tunnel — measured as minutes of THP page
+    # zeroing PER ROW (kernel stack: folio_zero_user), ~100x the cost of
+    # the op being measured.
+    k0, k1, k2 = jax.random.split(jax.random.PRNGKey(1), 3)
+    tab_c = table if table.dtype == cdt else jax.jit(
+        lambda t: t.astype(cdt))(table)
 
     def gather_scatter(rows):
-        ids = jnp.asarray(rng.integers(0, E_log, rows), jnp.int32)
-        cot = jnp.asarray(rng.normal(size=(rows, de)).astype(np.float32))
-        g = jax.jit(lambda t, i: jnp.take(t, i, axis=0))
-        s = jax.jit(lambda c, i: jnp.zeros((E_log, de), jnp.float32).at[i].add(c))
-        return _time_op(g, table, ids) + _time_op(s, cot, ids)
+        ids0 = jax.jit(lambda k: jax.random.randint(
+            k, (rows,), 0, E_log, jnp.int32))(k0)
+        cot = jax.jit(lambda k: jax.random.normal(k, (rows, de), cdt))(k1)
+
+        def g_body(i, st):
+            out, ids, tab = st
+            return (jnp.take(tab, ids, axis=0), (ids + 1) % E_log, tab)
+
+        t_g = _time_loop(
+            g_body, (jnp.zeros((rows, de), cdt), ids0, tab_c))
+
+        def s_body(i, st):
+            acc, ids, c = st
+            return (acc.at[ids].add(c), (ids + 7) % E_log, c)
+
+        t_s = _time_loop(s_body, (jnp.zeros((E_log, de), cdt), ids0, cot))
+        return t_g + t_s
 
     if not use_dense_scoring(spec, tspec):
         rows = 2 * B + n if negative_sharing == "batch" else B * (n + 2)
         return gather_scatter(rows)
 
-    cdt = jnp.bfloat16 if tspec.precision == "bf16" else jnp.float32
-    phi = jnp.asarray(rng.normal(size=(B, de)).astype(np.float32), cdt)
-    dsc = jnp.asarray(rng.normal(size=(B, E_log)).astype(np.float32), cdt)
-    tab_c = table.astype(cdt)
-    mm = jax.jit(lambda a, b: a @ b)
-    t_mm = (_time_op(mm, phi, tab_c.T)          # fwd scores  [B,E]
-            + _time_op(mm, dsc, tab_c)          # bwd d_phi   [B,d]
-            + _time_op(mm, dsc.T, phi))         # bwd d_table [E,d]
-    m = jnp.zeros_like(table)
-    v = jnp.zeros_like(table)
-    adam = jax.jit(lambda p, m, v, g: (
-        p - 1e-3 * (0.9 * m + 0.1 * g) / (jnp.sqrt(0.999 * v + 1e-3 * g * g)
-                                          + 1e-8)))
-    grad = jnp.asarray(rng.normal(size=table.shape).astype(np.float32))
-    t_adam = _time_op(adam, table, m, v, grad)
-    return t_mm + t_adam + gather_scatter(2 * B)
+    phi0 = jax.jit(lambda k: jax.random.normal(k, (B, de), cdt))(k2)
+    # the three step-shape matmuls chained through the carry (eps feed-in
+    # keeps each iteration data-dependent; 1e-20 * O(1e4) vanishes against
+    # O(1) operands, so values stay stable across reps)
+    eps = jnp.asarray(1e-20, cdt)
+
+    def mm_body(i, st):
+        phi, tab = st
+        scores = phi @ tab.T          # fwd scores  [B, E]
+        dphi = scores @ tab           # bwd d_phi   [B, de]
+        dtab = scores.T @ phi         # bwd d_table [E, de]
+        return (phi + eps * dphi, tab + eps * dtab)
+
+    t_3mm = _time_loop(mm_body, (phi0, tab_c))
+
+    def adam_body(i, st):
+        p, m, v, g = st
+        p = p - 1e-3 * (0.9 * m + 0.1 * g) / (
+            jnp.sqrt(0.999 * v + 1e-3 * g * g) + 1e-8)
+        return (p, m, v, g)
+
+    t_adam = _time_loop(adam_body, (
+        table, jnp.zeros_like(table), jnp.zeros_like(table),
+        jax.jit(lambda k: jax.random.normal(k, table.shape, table.dtype))(k1)))
+    return t_3mm + t_adam + gather_scatter(2 * B)
 
 
 _DS_CACHE = {}
@@ -294,8 +340,11 @@ def matrix():
             double_relation_embedding=model == "ComplEx",
         )
         params = kge.init_params(spec, jax.random.PRNGKey(0))
-        # warm-up pass compiles both directions; second pass is steady-state
-        eval_mod.test_step(params, spec, ds.test[:32], filters,
+        # warm-up at the MEASURED split size: the whole-mode scan program's
+        # length is the batch count, so a shorter warm-up split compiles a
+        # DIFFERENT program and the timed call pays the compile (measured
+        # 9.4s vs 0.30s steady — a 30x phantom slowdown in the r3 matrix)
+        eval_mod.test_step(params, spec, ds.test, filters,
                            test_batch_size=16, device_filter=True)
         t0 = time.perf_counter()
         eval_mod.test_step(params, spec, ds.test, filters, test_batch_size=16,
@@ -368,29 +417,10 @@ def main():
     # irreducible random-access passes at reference semantics are the
     # B*(n+2)-row forward gather and the same-size backward scatter-add
     # (BENCH_NOTES.md primitive floors; the sorted-segment_sum alternative
-    # measured slower). Measure BOTH live on this chip at the exact step
-    # shape and report measured-step-floor / measured-step-time.
-    N_rows = B * (n + 2)
-    de = trainer.params["entity_embedding"].shape[1]
-    ids = jnp.asarray(
-        np.random.default_rng(1).integers(0, spec.nentity, N_rows), jnp.int32)
-    cot = jnp.asarray(
-        np.random.default_rng(2).normal(size=(N_rows, de)).astype(np.float32))
-    gather_fn = jax.jit(lambda t, i: jnp.take(t, i, axis=0))
-    scatter_fn = jax.jit(
-        lambda g, i: jnp.zeros((spec.nentity, de), jnp.float32).at[i].add(g))
-
-    def time_op(fn, *args, reps=10):
-        out = fn(*args)
-        float(probe(out))
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = fn(*args)
-        float(probe(out))
-        return (time.perf_counter() - t0) / reps
-
-    floor_s = (time_op(gather_fn, trainer.params["entity_embedding"], ids)
-               + time_op(scatter_fn, cot, ids))
+    # measured slower). Measured live on this chip at the exact step shape
+    # (shared _floor_seconds helper, device-generated probe data);
+    # reported as measured-step-floor / measured-step-time.
+    floor_s = _floor_seconds(trainer, spec, tspec, B, n, "none")
     step_s = dt / n_steps
     # Reference-equivalent PyTorch step on this host's CPU (the reference
     # has no TPU path): 7 triples/s measured (BENCH_NOTES.md §headline).
