@@ -399,8 +399,12 @@ if __name__ == "__main__":
         # must be set via env BEFORE glibc's first malloc parses it (and
         # mallopt() is int-capped at 2 GB-1, too small for the B=1024
         # train leg), so re-exec once with it set.
+        # TRIM must exceed the largest freed block too: a 2.1 GB buffer
+        # freed above a 1 GB trim threshold is returned to the OS and
+        # re-faulted next step (measured: 1007 s sys vs 129 s user on the
+        # B=1024 train leg with trim at 1 GB).
         os.environ["MALLOC_MMAP_THRESHOLD_"] = str(8 << 30)
-        os.environ["MALLOC_TRIM_THRESHOLD_"] = str(1 << 30)
+        os.environ["MALLOC_TRIM_THRESHOLD_"] = str(8 << 30)
         os.execv(sys.executable, [sys.executable] + sys.argv)
     for i, a in enumerate(sys.argv):
         if a == "--B":
