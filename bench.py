@@ -53,14 +53,25 @@ def _time_loop(body, init, reps=30):
     the overhead per-iteration negligible. Each body iteration is
     data-dependent on the previous carry so XLA cannot hoist or CSE the
     repeated op out of the loop."""
-    run = jax.jit(lambda x: jax.lax.fori_loop(0, reps, body, x))
     probe = jax.jit(lambda x: jnp.sum(jnp.ravel(x[0])[:1]))
-    out = run(init)          # compile + warm
-    float(probe(out))
-    t0 = time.perf_counter()
-    out = run(init)
-    float(probe(out))
-    return (time.perf_counter() - t0) / reps
+
+    def timed(r):
+        run = jax.jit(lambda x: jax.lax.fori_loop(0, r, body, x))
+        out = run(init)      # compile + warm
+        float(probe(out))
+        t0 = time.perf_counter()
+        out = run(init)
+        float(probe(out))
+        return time.perf_counter() - t0
+
+    # two-point fence cancellation: each timed section pays one dispatch +
+    # one 4-byte probe pull (~10-20 ms RTT on the tunnel), which dominates
+    # sub-ms bodies (a 0.2 ms shared-negatives floor measured as 3 ms and
+    # its fraction swung 0.98 -> 0.29 between runs). T(2r) - T(r) has the
+    # fence subtracted exactly.
+    t1 = timed(reps)
+    t2 = timed(2 * reps)
+    return max(t2 - t1, 0.25 * t1) / reps  # clamp guards a noisy T(r) > T(2r)
 
 
 def _floor_seconds(trainer, spec, tspec, B, n, negative_sharing):
@@ -123,11 +134,17 @@ def _floor_seconds(trainer, spec, tspec, B, n, negative_sharing):
     # O(1) operands, so values stay stable across reps)
     eps = jnp.asarray(1e-20, cdt)
 
+    # the dense step forces Precision.HIGHEST for f32 parity
+    # (ops/matmul_scoring.py); the floor must use the same MXU mode or it
+    # under-counts by the multi-pass factor
+    mm_prec = (jax.lax.Precision.HIGHEST if cdt == jnp.float32
+               else jax.lax.Precision.DEFAULT)
+
     def mm_body(i, st):
         phi, tab = st
-        scores = phi @ tab.T          # fwd scores  [B, E]
-        dphi = scores @ tab           # bwd d_phi   [B, de]
-        dtab = scores.T @ phi         # bwd d_table [E, de]
+        scores = jnp.matmul(phi, tab.T, precision=mm_prec)   # fwd [B, E]
+        dphi = jnp.matmul(scores, tab, precision=mm_prec)    # bwd [B, de]
+        dtab = jnp.matmul(scores.T, phi, precision=mm_prec)  # bwd [E, de]
         return (phi + eps * dphi, tab + eps * dtab)
 
     t_3mm = _time_loop(mm_body, (phi0, tab_c))

@@ -79,9 +79,15 @@ class TrainSampler:
         index_subset: Optional[np.ndarray] = None,
         shared_negative_seed: Optional[int] = None,
     ):
-        assert mode in (HEAD_BATCH, TAIL_BATCH)
-        assert backend in ("auto", "native", "numpy")
-        assert negative_sharing in ("none", "batch")
+        if mode not in (HEAD_BATCH, TAIL_BATCH):
+            raise ValueError(f"mode must be {HEAD_BATCH!r} or {TAIL_BATCH!r}, "
+                             f"got {mode!r}")
+        if backend not in ("auto", "native", "numpy"):
+            raise ValueError(f"backend must be 'auto', 'native' or 'numpy', "
+                             f"got {backend!r}")
+        if negative_sharing not in ("none", "batch"):
+            raise ValueError(f"negative_sharing must be 'none' or 'batch', "
+                             f"got {negative_sharing!r}")
         if len(triples) == 0:
             raise ValueError("empty train split — nothing to sample")
         self.negative_sharing = negative_sharing
