@@ -42,7 +42,7 @@ from .config import ModelSpec, TrainSpec
 from .models import scorers
 from . import optim
 from .train import Trainer, loss_and_logs
-from .sampler.device_sampler import DeviceSampler, csr_member, rejection_negatives
+from .sampler.device_sampler import DeviceSampler
 from .sampler.negative import HEAD_BATCH, TAIL_BATCH
 
 # fixed log-key order for the summed [L] log vector the block returns

@@ -181,3 +181,26 @@ def test_dense_graph_topup_terminates():
         pos, neg, w, _ = s.next_batch()
         neg = np.asarray(neg)
         assert set(np.unique(neg)) <= {18, 19}  # only the allowed entities
+
+
+def test_gap_map_is_exhaustively_exact():
+    """gap_map(u) must return EXACTLY the u-th smallest non-true entity for
+    every u in [0, E - c), for keys with gaps at the edges, adjacent runs,
+    duplicate train triples (deduplicated at CSR build), and an empty set."""
+    from knowledgegraphembedding_tpu.sampler.device_sampler import (
+        build_mode_csr, gap_map)
+
+    E = 23
+    trues = {0: [1, 2, 7, 8, 9, 15, 22], 1: [0], 2: [], 3: list(range(17))}
+    rows = [[h, 0, t] for h, ts in trues.items() for t in ts]
+    rows += [[0, 0, 7], [3, 0, 4]]  # duplicate triples must not shift the map
+    train = np.array(rows, np.int32)
+    offsets, counts, values, k_max = build_mode_csr(train, E, 1, TAIL_BATCH)
+    csr = {"offsets": jnp.asarray(offsets), "counts": jnp.asarray(counts),
+           "values": jnp.asarray(values)}
+    for h, ts in trues.items():
+        allowed = sorted(set(range(E)) - set(ts))
+        qk = jnp.asarray([h * 1 + 0], jnp.int32)
+        u = jnp.asarray([list(range(len(allowed)))], jnp.int32)
+        got = np.asarray(gap_map(u, qk, csr, k_max, E))[0]
+        assert got.tolist() == allowed, (h, got.tolist(), allowed)
