@@ -307,6 +307,9 @@ def matrix():
                           "fraction_of_primitive_floor": frac}))
 
     for name, kw in [
+        ("RotatE gather f32, fused k=16 + device sampler "
+         "(reference semantics)",
+         dict(model="RotatE", scoring="gather")),
         ("RotatE shared negs bf16, fused k=16 (max-throughput stack)",
          dict(model="RotatE", scoring="gather", negative_sharing="batch",
               precision="bf16")),
@@ -428,7 +431,37 @@ def main():
     dt = time.perf_counter() - t0
     it.close()
 
-    triples_per_sec = n_steps * B / dt
+    host_tps = n_steps * B / dt
+
+    # Second reference-semantics leg: fused k-step blocks fed by the
+    # on-device gap sampler (exactly uniform over the non-true set — the
+    # same distribution the reference's rejection sampler produces, see
+    # sampler/device_sampler.py). Math per step is bit-identical to the
+    # single-step path (tests/test_fused_train.py). Two reasons it exists
+    # here: (a) since the r3 gap sampler it is the FASTER
+    # reference-semantics path (17.1k vs 16.8k measured), and (b) it is
+    # robust to host-CPU contention, which halves the host-sampled number
+    # when anything else runs on this box (measured: 16.7k idle -> 8.7k
+    # under a concurrent pytest run).
+    from knowledgegraphembedding_tpu.fused_train import FusedDeviceTrainer
+
+    k = 16
+    ftr = FusedDeviceTrainer(
+        spec, tspec, kge.init_params(spec, jax.random.PRNGKey(0)),
+        lr=5e-5, warm_up_steps=10**9, train=ds.train,
+    )
+    fprobe = jax.jit(lambda x: jnp.sum(x[:1, :1]))
+    ftr.run_block(k)                       # compile + warm
+    float(fprobe(ftr.params["entity_embedding"]))
+    n_blocks = 8
+    t0 = time.perf_counter()
+    for _ in range(n_blocks):
+        ftr.run_block(k)
+    float(fprobe(ftr.params["entity_embedding"]))
+    fdt = time.perf_counter() - t0
+    fused_tps = n_blocks * k * B / fdt
+
+    triples_per_sec = max(host_tps, fused_tps)
 
     # Self-describing floor fraction (VERDICT r1 item 6): the step's two
     # irreducible random-access passes at reference semantics are the
@@ -438,20 +471,24 @@ def main():
     # (shared _floor_seconds helper, device-generated probe data);
     # reported as measured-step-floor / measured-step-time.
     floor_s = _floor_seconds(trainer, spec, tspec, B, n, "none")
-    step_s = dt / n_steps
+    step_s = B / triples_per_sec  # step time of the winning path
     # Reference-equivalent PyTorch step on this host's CPU (the reference
     # has no TPU path): 7 triples/s measured (BENCH_NOTES.md §headline).
     TORCH_CPU_REFERENCE_TPS = 7.0
     print(json.dumps({
         "metric": "train triples/sec/chip (RotatE d=1000 -de, n=256, B=1024, "
-                  "adv, dense Adam, full 272k-triple train set); "
-                  "vs_baseline = speedup over the reference-equivalent torch "
-                  "step on this host's CPU; fraction_of_primitive_floor = "
-                  "(live-measured gather+scatter floor) / step time",
+                  "adv, dense Adam, full 272k-triple train set; best of the "
+                  "two reference-semantics paths — host-sampled single steps "
+                  "vs device-sampled fused k=16 blocks, identical per-step "
+                  "math); vs_baseline = speedup over the reference-equivalent "
+                  "torch step on this host's CPU; fraction_of_primitive_floor "
+                  "= (live-measured gather+scatter floor) / step time",
         "value": round(triples_per_sec, 1),
         "unit": "triples/s",
         "vs_baseline": round(triples_per_sec / TORCH_CPU_REFERENCE_TPS, 1),
         "fraction_of_primitive_floor": round(floor_s / step_s, 3),
+        "host_sampled_tps": round(host_tps, 1),
+        "device_sampled_fused_tps": round(fused_tps, 1),
     }))
 
 
