@@ -126,7 +126,10 @@ def parse_args(argv=None) -> RunConfig:
                         "update) into ONE compiled dispatch — removes all "
                         "per-step host work (single-chip, device-sampler "
                         "configs; blocks are clipped so log/checkpoint/"
-                        "valid/LR-decay timing is unchanged)")
+                        "valid/LR-decay timing is unchanged). HBM note: all "
+                        "k steps' batches are presampled per block, so peak "
+                        "memory grows by ~2k*B*(n+4) words (k=16 headline "
+                        "shape: ~34 MB; keep k <= ~64)")
     p.add_argument("--platform", type=str, default="auto",
                    choices=["auto", "cpu", "tpu"],
                    help="force the JAX backend (reliable override where a "

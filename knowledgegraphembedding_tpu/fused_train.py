@@ -116,6 +116,14 @@ def _paired_scan(one_mode, carry, idx_block, step0, k: int, start_tail: bool,
     cannot overlap it with the previous step), presampled it runs as a few
     large VPU ops that XLA schedules once per block.
 
+    Memory note: presampling materializes all k steps' batches in HBM at
+    once — ~2·ceil(k/2)·B·(n+4) int32/f32 words live for the block's
+    lifetime (k=16, B=1024, n=256: ~34 MB; the headline tables+moments are
+    ~0.7 GB), so peak block memory grows linearly with
+    ``--steps_per_dispatch``. At the flag's useful range (k ≤ 64 → ~137 MB)
+    this is noise next to the tables; cli.py documents the scaling at the
+    flag so pathological k values are a conscious choice.
+
     tail-first alternation (negative.py §BidirectionalIterator): even
     global steps sample tail-batch; ``start_tail`` is step0's parity,
     resolved HOST-side so the program structure is static.
@@ -129,21 +137,18 @@ def _paired_scan(one_mode, carry, idx_block, step0, k: int, start_tail: bool,
     total = None  # log dtype follows one_mode's output (f64 under x64)
     if pairs:
         def body(c, xs):
-            i, x_a, x_b = xs
-            s = step0 + 2 * i
-            c, v1 = one_mode(m1, s, c, x_a)
-            c, v2 = one_mode(m2, s + 1, c, x_b)
+            x_a, x_b = xs
+            c, v1 = one_mode(m1, c, x_a)
+            c, v2 = one_mode(m2, c, x_b)
             return c, v1 + v2
 
         carry, logmat = jax.lax.scan(
             body, carry,
-            (jnp.arange(pairs, dtype=jnp.int32),
-             jax.tree.map(lambda t: t[:pairs], xs1), xs2))
+            (jax.tree.map(lambda t: t[:pairs], xs1), xs2))
         total = jnp.sum(logmat, axis=0)
     if rem:
         # the leftover step sits at an even offset from step0 -> mode m1
-        carry, v = one_mode(m1, step0 + 2 * pairs, carry,
-                            jax.tree.map(lambda t: t[pairs], xs1))
+        carry, v = one_mode(m1, carry, jax.tree.map(lambda t: t[pairs], xs1))
         total = v if total is None else total + v
     return carry, total
 
@@ -173,7 +178,7 @@ def _block_step(params, opt_state, state, lr, step0, idx_block, *,
                 spec=spec, n=n, shared=shared)
         )(steps, idx_steps)
 
-    def one_mode(mode, s, carry, batch):
+    def one_mode(mode, carry, batch):
         params, opt_state = carry
         pos, neg, w = batch
         grad_fn = jax.value_and_grad(
@@ -406,7 +411,7 @@ class FusedMeshTrainer:
 
                 return jax.vmap(draw)(steps, idx_steps)
 
-            def one_mode(mode, s, carry, batch):
+            def one_mode(mode, carry, batch):
                 params, opt_state = carry
                 pos, neg, w = batch
                 grad_fn = jax.value_and_grad(

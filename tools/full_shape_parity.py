@@ -1,15 +1,21 @@
-"""Full-shape trajectory parity (VERDICT r2 next-round #1).
+"""Full-shape trajectory parity (VERDICT r2 next-round #1; generalized to
+every numerics regime a best_config.sh line can reach, VERDICT r3 #1).
 
 The recorded-stream torch-vs-framework harness of
-tests/test_trajectory_parity.py, re-run at the PUBLISHED FB15k-237
-best-config MODEL SHAPE instead of toy dims: RotatE d=1000 ``-de``
-(entity dim 2000), B=1024, n=256, gamma=9.0, adv temp 1.0, lr=5e-5, on an
-E=14,541 / R=237 / ~272k-triple graph — the exact regime of
-``best_config.sh``'s FB15k-237 line. This pins what the toy-dim tests
-cannot: accumulation order over 2000-wide rows, softmax over n=256
-adversarial weights, and the eval path's padding at E=14,541, against the
-torch reference (codes/model.py §train_step ≈L267-330 semantics via
-tests/oracle_torch.py + real torch.optim.Adam).
+tests/test_trajectory_parity.py, re-run at PUBLISHED best-config MODEL
+SHAPES instead of toy dims. ``--preset`` selects the regime; each preset
+pins what the toy-dim tests cannot — accumulation order over 1000-2000-wide
+rows, the softmax over the real adversarial-weight width, whole-table L3
+regularization gradients at width, and the eval path's padding at real E —
+against the torch reference (codes/model.py §train_step ≈L267-330 semantics
+via tests/oracle_torch.py + real torch.optim.Adam).
+
+Presets (the three float regimes of best_config.sh):
+  fb237-rotate    gather+elementwise RotatE (best_config FB15k-237 line)
+  fb237-complex   dense-MXU HIGHEST path (auto at E<=100n) + whole-table
+                  L3 reg + -de -dr (ComplEx FB15k-237 line)
+  fb237-distmult  same dense regime at d=2000 single-width tables
+  wn18rr-rotate   the n=1024 / alpha=0.5 wide-adversarial-softmax regime
 
 Two legs (run each in its OWN process — the platform can't switch after
 first device use):
@@ -20,13 +26,13 @@ first device use):
          test metrics compared.
   f64  — torch double vs the jitted Trainer under jax_enable_x64 on CPU,
          B reduced to 128 (affordable at full table width): losses to
-         ~1e-9, params to ~1e-10, filtered ranks of a test subset EQUAL.
+         ~1e-8, params to ~1e-9, filtered ranks of a test subset EQUAL.
 
 Usage:
-    python tools/full_shape_parity.py f32   # chip leg (default platform)
-    python tools/full_shape_parity.py f64   # CPU leg
+    python tools/full_shape_parity.py f32 [--preset fb237-complex]
+    python tools/full_shape_parity.py f64 [--preset wn18rr-rotate]
 
-Each leg prints one JSON line (collected into FULLSHAPE_r03.json) and
+Each leg prints one JSON line (collected into FULLSHAPE_r*.json) and
 exits non-zero if any band is violated.
 """
 
@@ -44,9 +50,35 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
-# --- the published FB15k-237 best-config shape (best_config.sh line 1) ---
+#: Published best-config shapes (best_config.sh lines; SURVEY.md §6).
+#: Fields: MODEL, E, R, NTRIPLES (graph), D, DE, DR (table widths),
+#: GAMMA, ADV_TEMP, LR, REG (loss), B, N (batch).
+PRESETS = {
+    "fb237-rotate": dict(
+        MODEL="RotatE", E=14541, R=237, NTRIPLES=272115, D=1000,
+        DE=True, DR=False, GAMMA=9.0, ADV_TEMP=1.0, LR=5e-5, REG=0.0,
+        B=1024, N=256),
+    "fb237-complex": dict(
+        MODEL="ComplEx", E=14541, R=237, NTRIPLES=272115, D=1000,
+        DE=True, DR=True, GAMMA=200.0, ADV_TEMP=1.0, LR=1e-3, REG=1e-5,
+        B=1024, N=256),
+    "fb237-distmult": dict(
+        MODEL="DistMult", E=14541, R=237, NTRIPLES=272115, D=2000,
+        DE=False, DR=False, GAMMA=200.0, ADV_TEMP=1.0, LR=1e-3, REG=1e-5,
+        B=1024, N=256),
+    "wn18rr-rotate": dict(
+        MODEL="RotatE", E=40943, R=11, NTRIPLES=86835, D=500,
+        DE=True, DR=False, GAMMA=6.0, ADV_TEMP=0.5, LR=5e-5, REG=0.0,
+        B=512, N=1024),
+}
+
+# defaults = the original fb237-rotate shape; __main__ overwrites from
+# --preset (module globals so every helper sees one consistent shape)
+PRESET = "fb237-rotate"
+MODEL = "RotatE"
 E, R, NTRIPLES = 14541, 237, 272115
-D, GAMMA, ADV_TEMP, LR = 1000, 9.0, 1.0, 5e-5
+D, GAMMA, ADV_TEMP, LR, REG = 1000, 9.0, 1.0, 5e-5, 0.0
+DE, DR = True, False
 B, N = 1024, 256
 STEPS, LOG = 40, 10            # warm_up = STEPS//2 = 20: decay fires mid-run
 N_TEST = 1024                  # pooled 2048 (both directions) rank samples
@@ -54,6 +86,11 @@ SEED = 0
 
 B64, STEPS64, LOG64 = 128, 30, 10   # f64 leg: full width, reduced batch
 N_TEST64 = 96
+
+
+def _apply_preset(name: str) -> None:
+    globals()["PRESET"] = name
+    globals().update(PRESETS[name])
 
 
 def build_pipeline(batch_size: int, steps: int):
@@ -72,8 +109,9 @@ def build_pipeline(batch_size: int, steps: int):
         ds.train, np.concatenate([ds.train, ds.valid, ds.test]),
         ds.nentity, ds.nrelation)
     spec = ModelSpec(
-        model_name="RotatE", nentity=ds.nentity, nrelation=ds.nrelation,
-        hidden_dim=D, gamma=GAMMA, double_entity_embedding=True)
+        model_name=MODEL, nentity=ds.nentity, nrelation=ds.nrelation,
+        hidden_dim=D, gamma=GAMMA, double_entity_embedding=DE,
+        double_relation_embedding=DR)
     it = build_train_iterator(
         ds.train, ds.nentity, ds.nrelation, batch_size, N, filters,
         seed=SEED, prefetch_depth=0, backend="numpy")
@@ -126,9 +164,9 @@ def run_torch(p0, batches, spec, *, dtype, steps, warm_up, log,
         loss, _, _ = oracle.loss_fn(
             ent, rel, torch.from_numpy(np.asarray(pos, np.int64)),
             torch.from_numpy(np.asarray(neg, np.int64)),
-            torch.from_numpy(np.asarray(w)).to(dtype), mode, "RotatE",
+            torch.from_numpy(np.asarray(w)).to(dtype), mode, MODEL,
             GAMMA, spec.embedding_range, adv=True, adv_temp=ADV_TEMP,
-            uni_weight=False)
+            uni_weight=False, regularization=REG)
         opt.zero_grad()
         loss.backward()
         opt.step()
@@ -183,7 +221,7 @@ def torch_filtered_ranks(ent, rel, test, filters, spec, batch=32,
             pos = torch.from_numpy(posn)
             true = pos[:, 0] if mode == "head-batch" else pos[:, 2]
             true_score = oracle.forward(
-                ent, rel, pos, true[:, None], mode, "RotatE", GAMMA,
+                ent, rel, pos, true[:, None], mode, MODEL, GAMMA,
                 spec.embedding_range)
             mask = torch.from_numpy(
                 filters.filter_mask_rows(posn.astype(np.int32), mode)[:, :E])
@@ -191,7 +229,7 @@ def torch_filtered_ranks(ent, rel, test, filters, spec, batch=32,
             for c0 in range(0, E, e_chunk):
                 idx = torch.arange(c0, min(c0 + e_chunk, E))
                 neg = idx.unsqueeze(0).expand(len(pos), len(idx))
-                sc = oracle.forward(ent, rel, pos, neg, mode, "RotatE",
+                sc = oracle.forward(ent, rel, pos, neg, mode, MODEL,
                                     GAMMA, spec.embedding_range)
                 beats += ((sc > true_score) & ~mask[:, c0:c0 + len(idx)]
                           & (idx[None, :] != true[:, None])).sum(1)
@@ -230,7 +268,8 @@ def leg_f32() -> dict:
     print(f"[f32] pipeline built in {t_build:.0f}s", file=sys.stderr, flush=True)
 
     cache = os.path.join(
-        REPO, f"tools/.fullshape_f32_E{E}_B{B}_n{N}_d{D}_s{STEPS}_seed{SEED}.npz")
+        REPO, f"tools/.fullshape_f32_{MODEL}_E{E}_B{B}_n{N}_d{D}"
+              f"_s{STEPS}_seed{SEED}.npz")
     if os.path.exists(cache):
         z = np.load(cache)
         t_windows = z["windows"].tolist()
@@ -270,14 +309,21 @@ def leg_f32() -> dict:
     data_dir, save_dir = os.path.join(tmp, "data"), os.path.join(tmp, "save")
     save_dataset(ds, data_dir)
     t0 = time.time()
-    final = cli.main([
+    argv = [
         "--do_train", "--do_test", "--data_path", data_dir, "--model",
-        "RotatE", "-de", "-n", str(N), "-b", str(B), "-d", str(D),
+        MODEL, "-n", str(N), "-b", str(B), "-d", str(D),
         "-g", str(GAMMA), "-adv", "-a", str(ADV_TEMP), "-lr", str(LR),
         "--max_steps", str(STEPS), "--log_steps", str(LOG),
         "--test_batch_size", "16", "--sampler_backend", "numpy",
         "--prefetch_depth", "0", "--seed", str(SEED), "-save", save_dir,
-    ])
+    ]
+    if DE:
+        argv.append("-de")
+    if DR:
+        argv.append("-dr")
+    if REG:
+        argv += ["-r", repr(REG)]
+    final = cli.main(argv)
     t_cli = time.time() - t0
     j_metrics = final["test"]
     log_text = open(os.path.join(save_dir, "train.log")).read()
@@ -291,9 +337,12 @@ def leg_f32() -> dict:
     import jax
     out = {
         "leg": "f32_full_shape",
+        "preset": PRESET,
+        "model": MODEL,
         "platform": jax.default_backend(),
-        "shape": {"E": E, "R": R, "B": B, "n": N, "d": D, "de": True,
-                  "gamma": GAMMA, "lr": LR, "steps": STEPS,
+        "shape": {"E": E, "R": R, "B": B, "n": N, "d": D, "de": DE,
+                  "dr": DR, "gamma": GAMMA, "adv_temp": ADV_TEMP,
+                  "lr": LR, "reg": REG, "steps": STEPS,
                   "warm_up": STEPS // 2},
         "torch_windows": t_windows, "framework_windows": j_windows,
         "max_window_abs_err": max(w_err),
@@ -328,11 +377,16 @@ def leg_f64() -> dict:
     t0 = time.time()
     ds, filters, spec, batches, p0 = build_pipeline(B64, STEPS64)
     warm_up = STEPS64 // 2
+    # crash-resume ckpt: the torch-f64 leg is ~1h of single-core compute
+    ckpt = os.path.join(
+        REPO, f"tools/.fullshape_f64_{MODEL}_E{E}_B{B64}_n{N}_d{D}"
+              f"_s{STEPS64}_seed{SEED}")
     ent, rel, t_windows = run_torch(
         p0, batches, spec, dtype=torch.float64, steps=STEPS64,
-        warm_up=warm_up, log=LOG64)
+        warm_up=warm_up, log=LOG64, ckpt_path=ckpt + ".train.ckpt")
     sub = ds.test[:N_TEST64]
-    t_ranks = torch_filtered_ranks(ent, rel, sub, filters, spec)
+    t_ranks = torch_filtered_ranks(ent, rel, sub, filters, spec,
+                                   ckpt_path=ckpt + ".eval.ckpt")
     t_torch = time.time() - t0
 
     t0 = time.time()
@@ -340,7 +394,9 @@ def leg_f64() -> dict:
     tspec = TrainSpec(
         negative_sample_size=N, batch_size=B64,
         negative_adversarial_sampling=True, adversarial_temperature=ADV_TEMP,
-        uni_weight=False, regularization=0.0)
+        uni_weight=False, regularization=REG)
+    from knowledgegraphembedding_tpu.train import use_dense_scoring
+    scoring_path = "dense" if use_dense_scoring(spec, tspec) else "gather"
     trainer = Trainer(spec, tspec, p64, lr=LR, warm_up_steps=warm_up)
     j_windows, acc = [], 0.0
     for step in range(STEPS64):
@@ -376,9 +432,14 @@ def leg_f64() -> dict:
     rank_mismatches = int(np.sum(j_ranks != t_ranks)) if len(j_ranks) == len(t_ranks) else -1
     out = {
         "leg": "f64_full_width",
+        "preset": PRESET,
+        "model": MODEL,
         "platform": jax.default_backend(),
-        "shape": {"E": E, "R": R, "B": B64, "n": N, "d": D, "de": True,
-                  "steps": STEPS64, "warm_up": warm_up},
+        "scoring_path": scoring_path,
+        "shape": {"E": E, "R": R, "B": B64, "n": N, "d": D, "de": DE,
+                  "dr": DR, "gamma": GAMMA, "adv_temp": ADV_TEMP,
+                  "lr": LR, "reg": REG, "steps": STEPS64,
+                  "warm_up": warm_up},
         "torch_windows": t_windows, "framework_windows": j_windows,
         "max_window_abs_err": max(w_err),
         "max_param_abs_err": p_err,
@@ -407,6 +468,11 @@ if __name__ == "__main__":
         os.environ["MALLOC_TRIM_THRESHOLD_"] = str(8 << 30)
         os.execv(sys.executable, [sys.executable] + sys.argv)
     for i, a in enumerate(sys.argv):
+        if a == "--preset":
+            _apply_preset(sys.argv[i + 1])
+            sys.argv[i:i + 2] = []
+            break
+    for i, a in enumerate(sys.argv):
         if a == "--B":
             # reduced-batch variant of the f32 leg (still full d=1000 -de
             # row width, n=256 softmax, E=14,541 eval padding — only the
@@ -423,7 +489,8 @@ if __name__ == "__main__":
         # unknown flags (incl. --help) must NOT fall through to a
         # multi-hour default run
         sys.exit(f"usage: {sys.argv[0]} [f32|f64] [--cpu] [--torch-only]"
-                 f" [--B n]  (got {sys.argv[1:]})")
+                 f" [--B n] [--preset {'|'.join(PRESETS)}]"
+                 f"  (got {sys.argv[1:]})")
     leg = legs[0] if legs else "f32"
     if "--cpu" in sys.argv:
         # fallback when the TPU tunnel is unreachable: the f32 leg is still
