@@ -292,14 +292,8 @@ def _sharded_state_arrays(trainer) -> Tuple[dict, dict]:
     return local, meta
 
 
-def save_model_sharded(trainer, config: RunConfig, save_path: str) -> None:
-    """Per-process block writes; no state gather. The .npy table exports
-    are NEVER written in sharded mode (they are inherently full-table
-    artifacts; in --sharded_checkpoint runs even the final save stays
-    shard-per-process) — produce them offline with
-    ``tools/export_tables.py``."""
-    wait_for_pending_save()
-    local, meta = _sharded_state_arrays(trainer)
+def _write_sharded_files(local: dict, meta: dict, config: RunConfig,
+                         save_path: str) -> None:
     os.makedirs(save_path, exist_ok=True)
     p, n = jax.process_index(), jax.process_count()
     _atomic_write(
@@ -312,6 +306,57 @@ def save_model_sharded(trainer, config: RunConfig, save_path: str) -> None:
             os.path.join(save_path, "checkpoint.npz"),
             lambda f: np.savez(f, **meta),
         )
+
+
+def save_model_sharded(trainer, config: RunConfig, save_path: str,
+                       asynchronous: bool = False) -> None:
+    """Per-process block writes; no state gather. The .npy table exports
+    are NEVER written in sharded mode (they are inherently full-table
+    artifacts; in --sharded_checkpoint runs even the final save stays
+    shard-per-process) — produce them offline with
+    ``tools/export_tables.py``.
+
+    ``asynchronous``: unlike the full-state save, the sharded save has NO
+    collective — every process touches only its own addressable blocks —
+    so the device-snapshot + background-writer trick composes cleanly on
+    fleets too. The main thread takes a per-device HBM copy of params +
+    Adam state (~ms; required because the train step donates the live
+    buffers) and the device→host block pull + per-process file writes run
+    on a background thread. Artifacts are bit-identical to a synchronous
+    save at the same step (pinned in tests/test_sharded_checkpoint.py),
+    and the step-stamp consistency guard is unchanged — a fleet killed
+    mid-async-save leaves mixed shard files that the load path hard-errors
+    on, exactly like a mid-sync-save kill."""
+    wait_for_pending_save()
+    if not asynchronous:
+        local, meta = _sharded_state_arrays(trainer)
+        _write_sharded_files(local, meta, config, save_path)
+        return
+
+    import types
+
+    import jax.numpy as jnp
+
+    snap = types.SimpleNamespace(
+        params=jax.tree.map(jnp.copy, trainer.params),
+        opt_state=jax.tree.map(jnp.copy, trainer.opt_state),
+        step=trainer.step,
+        current_learning_rate=trainer.current_learning_rate,
+        warm_up_steps=trainer.warm_up_steps,
+        spec=trainer.spec,
+    )
+
+    def _write():
+        global _pending_error
+        try:
+            local, meta = _sharded_state_arrays(snap)
+            _write_sharded_files(local, meta, config, save_path)
+        except BaseException as e:  # surfaced by wait_for_pending_save
+            _pending_error = e
+
+    global _pending_save
+    _pending_save = threading.Thread(target=_write, name="kge-ckpt-writer")
+    _pending_save.start()
 
 
 def _load_sharded(path: str, meta) -> Tuple[dict, AdamState, int, float, int]:

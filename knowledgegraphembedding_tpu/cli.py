@@ -736,13 +736,17 @@ def _run_fused_training(trainer, config, ds, filters, eval_mod, ckpt_mod):
 def _periodic_save(ckpt_mod, trainer, config, final: bool = False) -> None:
     """Checkpoint dispatch: per-process shard files on mesh fleets when
     --sharded_checkpoint (no state gather, no fleet stall — SURVEY §5.4),
-    else the reference-layout full save (optionally async on single-device
-    trainers; the final save is always synchronous). In sharded mode even
+    else the reference-layout full save. Periodic saves are async by
+    default on both paths (--async_checkpoint: device snapshot + background
+    writer; the sharded save has no collective, so async composes on
+    fleets too); the final save is always synchronous. In sharded mode even
     the final save stays shard-per-process — the .npy serving exports are
     produced from the shard files by tools/export_tables.py instead of a
     fleet-stalling gather."""
     if config.sharded_checkpoint and getattr(trainer, "mesh", None) is not None:
-        ckpt_mod.save_model_sharded(trainer, config, config.save_path)
+        ckpt_mod.save_model_sharded(
+            trainer, config, config.save_path,
+            asynchronous=config.async_checkpoint and not final)
     else:
         ckpt_mod.save_model(trainer, config, config.save_path,
                             asynchronous=config.async_checkpoint and not final)
