@@ -112,6 +112,168 @@ def test_fields_cover_reference_cli_positionals():
         "steps", "test_batch"}
 
 
+# ---------------------------------------------------------------------------
+# CI guard (VERDICT r3 #7): the oracle-DRIVING surface must stay importable
+# and runnable against the CURRENT package as the code moves — so first
+# contact with the real reference can only fail on THEIR side. A stub
+# reference tree implementing the upstream API (KGEModel.forward /
+# train_step / test_step, argsort eval with replaced-candidate filter bias)
+# is generated in tmp_path from tests/oracle_torch.py and every check
+# function is dry-run against it end to end.
+
+_STUB_MODEL_PY = '''
+"""Stub reference codes/model.py implementing the upstream API surface
+(generated by tests/test_reference_verification.py; math delegated to
+tests/oracle_torch.py so the checks must pass by construction)."""
+import sys
+sys.path.insert(0, {tests_dir!r})
+
+import numpy as np
+import torch
+import torch.nn as nn
+
+import oracle_torch as _oracle
+
+
+class KGEModel(nn.Module):
+    def __init__(self, model_name, nentity, nrelation, hidden_dim, gamma,
+                 double_entity_embedding=False,
+                 double_relation_embedding=False):
+        super().__init__()
+        self.model_name = model_name
+        self.nentity = nentity
+        self.nrelation = nrelation
+        self.epsilon = 2.0
+        self.gamma = nn.Parameter(torch.Tensor([gamma]), requires_grad=False)
+        self.embedding_range = nn.Parameter(
+            torch.Tensor([(gamma + self.epsilon) / hidden_dim]),
+            requires_grad=False)
+        ent_dim = hidden_dim * 2 if double_entity_embedding else hidden_dim
+        rel_dim = hidden_dim * 2 if double_relation_embedding else hidden_dim
+        self.entity_embedding = nn.Parameter(torch.zeros(nentity, ent_dim))
+        nn.init.uniform_(self.entity_embedding,
+                         a=-self.embedding_range.item(),
+                         b=self.embedding_range.item())
+        self.relation_embedding = nn.Parameter(torch.zeros(nrelation, rel_dim))
+        nn.init.uniform_(self.relation_embedding,
+                         a=-self.embedding_range.item(),
+                         b=self.embedding_range.item())
+        if model_name == "pRotatE":
+            self.modulus = nn.Parameter(
+                torch.Tensor([[0.5 * self.embedding_range.item()]]))
+
+    def _modulus(self):
+        return self.modulus.squeeze() if hasattr(self, "modulus") else None
+
+    def forward(self, sample, mode="single"):
+        pos, neg = (sample, None) if mode == "single" else sample
+        return _oracle.forward(
+            self.entity_embedding, self.relation_embedding, pos, neg, mode,
+            self.model_name, float(self.gamma.item()),
+            float(self.embedding_range.item()), self._modulus())
+
+    @staticmethod
+    def train_step(model, optimizer, train_iterator, args):
+        model.train()
+        optimizer.zero_grad()
+        pos, neg, w, mode = next(train_iterator)
+        loss, ploss, nloss = _oracle.loss_fn(
+            model.entity_embedding, model.relation_embedding, pos, neg, w,
+            mode, model.model_name, float(model.gamma.item()),
+            float(model.embedding_range.item()), modulus=model._modulus(),
+            adv=args.negative_adversarial_sampling,
+            adv_temp=args.adversarial_temperature,
+            uni_weight=args.uni_weight,
+            regularization=args.regularization)
+        loss.backward()
+        optimizer.step()
+        return {{"positive_sample_loss": float(ploss),
+                 "negative_sample_loss": float(nloss),
+                 "loss": float(loss)}}
+
+    @staticmethod
+    def test_step(model, test_triples, all_true_triples, args):
+        model.eval()
+        true = set(map(tuple, all_true_triples))
+        E = args.nentity
+        gamma = float(model.gamma.item())
+        erange = float(model.embedding_range.item())
+        modulus = model._modulus()
+        logs = []
+        with torch.no_grad():
+            for mode in ("head-batch", "tail-batch"):
+                for h, r, t in test_triples:
+                    pos = torch.tensor([[h, r, t]], dtype=torch.long)
+                    true_ent = h if mode == "head-batch" else t
+                    # upstream TestDataset trick: filtered candidates are
+                    # REPLACED by the true entity and biased -1, so their
+                    # score is exactly true_score-1 and can never outrank
+                    cand = list(range(E))
+                    bias = torch.zeros(E)
+                    for e in range(E):
+                        corrupt = (e, r, t) if mode == "head-batch" else (h, r, e)
+                        if corrupt in true and e != true_ent:
+                            cand[e] = true_ent
+                            bias[e] = -1.0
+                    neg = torch.tensor([cand], dtype=torch.long)
+                    score = _oracle.forward(
+                        model.entity_embedding, model.relation_embedding,
+                        pos, neg, mode, model.model_name, gamma, erange,
+                        modulus)[0] + bias
+                    argsort = torch.argsort(score, descending=True)
+                    ranking = (argsort == true_ent).nonzero()
+                    assert ranking.size(0) == 1
+                    rank = 1 + int(ranking.item())
+                    logs.append({{"MRR": 1.0 / rank, "MR": float(rank),
+                                  "HITS@1": float(rank <= 1),
+                                  "HITS@3": float(rank <= 3),
+                                  "HITS@10": float(rank <= 10)}})
+        return {{k: sum(l[k] for l in logs) / len(logs) for k in logs[0]}}
+'''
+
+
+@pytest.fixture
+def stub_reference(tmp_path):
+    codes = tmp_path / "codes"
+    codes.mkdir()
+    (codes / "model.py").write_text(_STUB_MODEL_PY.format(
+        tests_dir=os.path.join(REPO, "tests")))
+    (tmp_path / "best_config.sh").write_text(
+        open(os.path.join(REPO, "best_config.sh")).read())
+    return str(tmp_path)
+
+
+def test_checks_dry_run_against_stub_reference(stub_reference):
+    """Every check function must RUN and PASS against a stub tree whose
+    math is the oracle's own — any drift between the checks' probing
+    surface and the current package (renamed symbols, changed
+    eval.test_step return keys incl. MR, ModelSpec/FilterSets signature
+    changes) fails HERE in CI instead of at first real contact."""
+    report = {}
+    vr.check_forward_parity(stub_reference, report)
+    vr.check_train_step_parity(stub_reference, report)
+    vr.check_test_step_parity(stub_reference, report)
+    vr.check_best_config(stub_reference, report)
+    for check, res in report.items():
+        assert res.get("pass") is True, (check, res)
+    # the metric-key contract the real first contact will rely on:
+    # ours must carry every reference metric incl. MR
+    ours = report["test_step_parity"]["ours"]
+    assert set(ours) == {"MRR", "MR", "HITS@1", "HITS@3", "HITS@10"}
+
+
+def test_main_passes_against_stub_reference(stub_reference, tmp_path):
+    """main() end to end on the stub tree: exit 0, status PASS, report
+    written — the exact invocation first contact will use."""
+    out = tmp_path / "report.json"
+    rc = vr.main(["--reference", stub_reference, "--out", str(out)])
+    assert rc == 0
+    report = json.load(open(out))
+    assert report["status"] == "PASS"
+    assert {"forward_parity", "train_step_parity", "test_step_parity",
+            "best_config"} <= set(report)
+
+
 @pytest.mark.skipif(
     not HAVE_REFERENCE,
     reason="reference mount empty (zero-egress env): run "
