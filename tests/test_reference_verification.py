@@ -187,9 +187,9 @@ class KGEModel(nn.Module):
             regularization=args.regularization)
         loss.backward()
         optimizer.step()
-        return {{"positive_sample_loss": float(ploss),
-                 "negative_sample_loss": float(nloss),
-                 "loss": float(loss)}}
+        return {{"positive_sample_loss": float(ploss.detach()),
+                 "negative_sample_loss": float(nloss.detach()),
+                 "loss": float(loss.detach())}}
 
     @staticmethod
     def test_step(model, test_triples, all_true_triples, args):

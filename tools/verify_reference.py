@@ -204,10 +204,13 @@ def check_forward_parity(ref: str, report: dict):
                 kge.relation_embedding.copy_(rel)
             modulus = (float(kge.modulus.item())
                        if hasattr(kge, "modulus") else None)
+            # the fixture's train split may hold fewer than BATCH triples;
+            # neg must match pos's row count (caught by the stub-tree dry
+            # run in tests/test_reference_verification.py)
             pos = torch.from_numpy(
                 np.asarray(ds.train[:BATCH], np.int64))
             neg = torch.from_numpy(rng.integers(
-                0, ds.nentity, (BATCH, NEG)).astype(np.int64))
+                0, ds.nentity, (pos.shape[0], NEG)).astype(np.int64))
             errs = {}
             with torch.no_grad():
                 for mode, sample in (
@@ -220,12 +223,18 @@ def check_forward_parity(ref: str, report: dict):
                         mode, name, GAMMA, erange, modulus)
                     errs[mode] = float(
                         (got - want.reshape(got.shape)).abs().max())
+            # the reference stores embedding_range as an f32 nn.Parameter
+            # (codes/model.py ≈L37-40), so .item() returns the f32-rounded
+            # value — compare against the same f32 cast, not raw f64 (a
+            # 1e-9 f64 band here failed EVERY model in the stub-tree dry
+            # run; tests/test_reference_verification.py)
+            expected_range = float(np.float32((GAMMA + 2.0) / DIM))
             results[name] = {
                 "embedding_range": erange,
-                "expected_range": (GAMMA + 2.0) / DIM,
+                "expected_range": expected_range,
                 "max_abs_err": errs,
                 "pass": all(v <= 1e-5 for v in errs.values())
-                and abs(erange - (GAMMA + 2.0) / DIM) <= 1e-9,
+                and abs(erange - expected_range) <= 1e-9,
             }
         except Exception:
             results[name] = {"pass": False, "error": traceback.format_exc()}
