@@ -279,6 +279,167 @@ def _measure_fused(model="RotatE", scoring="auto", precision="f32",
     return (n_steps // k) * k * B / dt
 
 
+def decompose(name, model, scoring, precision, negative_sharing, B, n, d,
+              nentity, nrelation, ntriples, reps=20):
+    """ms-level step decomposition for one row (VERDICT r3 #2): sample /
+    forward / backward / table-sweep / Adam / full step, each as a
+    device-resident fori_loop probe (single dispatch, two-point fence
+    cancellation). ``bwd_only`` subtracts the fwd and the 1e-30 grad-sweep
+    the fwd+bwd probe needs to keep iterations data-dependent."""
+    from knowledgegraphembedding_tpu.config import ModelSpec, TrainSpec
+    from knowledgegraphembedding_tpu.fused_train import (
+        FusedDeviceTrainer, _sample_one)
+    from knowledgegraphembedding_tpu.models import kge
+    from knowledgegraphembedding_tpu.sampler.negative import TAIL_BATCH
+    from knowledgegraphembedding_tpu.train import loss_and_logs
+    from knowledgegraphembedding_tpu import optim
+
+    ds, _ = _dataset(nentity, nrelation, ntriples)
+    spec = ModelSpec(model_name=model, nentity=ds.nentity,
+                     nrelation=ds.nrelation, hidden_dim=d, gamma=9.0,
+                     double_entity_embedding=model in ("RotatE", "ComplEx"),
+                     double_relation_embedding=model == "ComplEx")
+    tspec = TrainSpec(negative_sample_size=n, batch_size=B,
+                      negative_adversarial_sampling=True, scoring=scoring,
+                      precision=precision)
+    tr = FusedDeviceTrainer(
+        spec, tspec, kge.init_params(spec, jax.random.PRNGKey(0)), lr=5e-5,
+        warm_up_steps=10**9, train=ds.train,
+        negative_sharing=negative_sharing)
+    state = dict(tr._state)
+    state["k_max"] = dict(tr._k_max)
+    shared = negative_sharing == "batch"
+    E, R = spec.nentity, spec.nrelation
+    params, opt_state = tr.params, tr.opt_state
+    rng = np.random.default_rng(0)
+    idx_row = jnp.asarray(rng.integers(0, len(ds.train), B).astype(np.int32))
+    key0 = jax.random.PRNGKey(7)
+    pos0, neg0, w0 = jax.jit(lambda k: _sample_one(
+        state, k, idx_row, TAIL_BATCH, spec=spec, n=n, shared=shared))(key0)
+    out = {"name": name}
+
+    def sample_body(i, st):
+        acc, _ = st
+        key = jax.random.fold_in(key0, i)
+        pos, neg, w = _sample_one(state, key, idx_row, TAIL_BATCH,
+                                  spec=spec, n=n, shared=shared)
+        return (acc + w[0] + pos[0, 0] + neg[0, 0], i)
+
+    out["sample_ms"] = _time_loop(
+        sample_body, (jnp.float32(0), jnp.int32(0)), reps) * 1e3
+
+    shift = jnp.asarray([1, 1, 1], jnp.int32)
+    lim = jnp.asarray([E, R, E], jnp.int32)
+
+    def fwd_body(i, st):
+        acc, params, pos = st
+        loss, _ = loss_and_logs(params, spec, tspec, pos, neg0, w0,
+                                TAIL_BATCH)
+        return (acc + loss, params, (pos + shift) % lim)
+
+    out["fwd_ms"] = _time_loop(
+        fwd_body, (jnp.float32(0), params, pos0), reps) * 1e3
+
+    def fb_body(i, st):
+        acc, params, pos = st
+        (loss, _), grads = jax.value_and_grad(
+            lambda p: loss_and_logs(p, spec, tspec, pos, neg0, w0,
+                                    TAIL_BATCH), has_aux=True)(params)
+        params = jax.tree.map(
+            lambda p, g: p + 1e-30 * g.astype(p.dtype), params, grads)
+        return (acc + loss, params, (pos + shift) % lim)
+
+    out["fwd_bwd_plus_sweep_ms"] = _time_loop(
+        fb_body, (jnp.float32(0), params, pos0), reps) * 1e3
+
+    gfixed = jax.tree.map(lambda p: jnp.ones_like(p) * 1e-6, params)
+
+    def sweep_body(i, st):
+        acc, params = st
+        params = jax.tree.map(lambda p, g: p + 1e-30 * g, params, gfixed)
+        return (acc + params["entity_embedding"][0, 0], params)
+
+    out["table_sweep_ms"] = _time_loop(
+        sweep_body, (jnp.float32(0), params), reps) * 1e3
+
+    def adam_body(i, st):
+        acc, params, opt = st
+        params, opt = optim.apply_update(params, gfixed, opt,
+                                         jnp.float32(5e-5))
+        return (acc + params["entity_embedding"][0, 0], params, opt)
+
+    out["adam_ms"] = _time_loop(
+        adam_body, (jnp.float32(0), params, opt_state), reps) * 1e3
+
+    def full_body(i, st):
+        acc, params, opt = st
+        key = jax.random.fold_in(key0, i)
+        pos, neg, w = _sample_one(state, key, idx_row, TAIL_BATCH,
+                                  spec=spec, n=n, shared=shared)
+        (loss, _), grads = jax.value_and_grad(
+            lambda p: loss_and_logs(p, spec, tspec, pos, neg, w, TAIL_BATCH),
+            has_aux=True)(params)
+        params, opt = optim.apply_update(params, grads, opt,
+                                         jnp.float32(5e-5))
+        return (acc + loss, params, opt)
+
+    out["full_step_ms"] = _time_loop(
+        full_body, (jnp.float32(0), params, opt_state), reps) * 1e3
+    out["bwd_only_ms"] = (out["fwd_bwd_plus_sweep_ms"] - out["fwd_ms"]
+                          - out["table_sweep_ms"])
+    for k in list(out):
+        if k.endswith("_ms"):
+            out[k] = round(out[k], 3)
+    print(json.dumps(out))
+    return out
+
+
+DECOMPOSE_CASES = [
+    ("DistMult dense f32 (device sampler)", "DistMult", "dense", "f32",
+     "none", 1024, 256, 1000, 14541, 237, 272115),
+    ("ComplEx dense f32 (device sampler)", "ComplEx", "dense", "f32",
+     "none", 1024, 256, 1000, 14541, 237, 272115),
+    ("RotatE shared negs f32", "RotatE", "gather", "f32", "batch",
+     1024, 256, 1000, 14541, 237, 272115),
+    ("RotatE YAGO true scale (gather f32)", "RotatE", "gather", "f32",
+     "none", 1024, 400, 500, 123182, 37, 1079040),
+]
+
+
+def _vpu_rate():
+    """Measured f32 elementwise rate (ops/s) via a chained |z-c|+d probe
+    (3 ops/element/iteration) — the yardstick the eval floor estimates
+    use."""
+    z0 = jax.jit(lambda k: jax.random.normal(
+        k, (4096, 1024), jnp.float32))(jax.random.PRNGKey(1))
+    cc, dd = jnp.float32(0.3), jnp.float32(0.1)
+    t = _time_loop(lambda i, z: jnp.abs(z - cc) + dd, z0, reps=300)
+    return z0.size * 3 / t
+
+
+def _eval_floor_evals_per_s(spec, table, B):
+    """Floor (evals/s) for one eval batch: the binding resource is the
+    larger of (a) one sequential read of the padded table per batch
+    (candidate tiles stream HBM->VMEM once, shared across the batch rows)
+    and (b) the per-candidate score+compare VPU compute, estimated at ~7
+    elementwise ops per complex dim per batch row against the measured
+    elementwise rate. Bilinear models floor on the HIGHEST-precision MXU
+    matmul instead (measured directly by the caller)."""
+    acc0 = jnp.float32(0)
+
+    def stream_body(i, acc):
+        return acc + jnp.sum(table * (1 + acc * 1e-30))
+
+    t_stream = _time_loop(stream_body, acc0, reps=10)
+    span = spec.hidden_dim
+    ops = B * spec.nentity * (span * 7 + 1)
+    t_compute = ops / _vpu_rate()
+    return B / max(t_stream, t_compute), {
+        "table_stream_ms": round(t_stream * 1e3, 2),
+        "compute_est_ms": round(t_compute * 1e3, 2),
+    }
+
+
 def matrix():
     """Full measured matrix (manual use; the driver runs the default
     single-line mode). One JSON line per configuration."""
@@ -371,10 +532,33 @@ def matrix():
                            device_filter=True)
         dt = time.perf_counter() - t0
         n = len(ds.test) * 2
+        measured = n / dt
+        # eval floor column (VERDICT r3 #3): distance family floors on
+        # max(table stream, VPU score compute); bilinear floors on the
+        # HIGHEST-precision MXU matmul at the 128-row eval batch
+        if model == "RotatE":
+            ranker = eval_mod.get_pallas_ranker(params, spec)
+            floor, parts = _eval_floor_evals_per_s(spec, ranker.table, 16)
+        else:
+            tab = params["entity_embedding"]
+            phi = jax.jit(lambda k: jax.random.normal(
+                k, (128, tab.shape[1]), jnp.float32))(jax.random.PRNGKey(2))
+
+            def mm_body(i, st):
+                p, acc = st
+                s = jnp.matmul(p, tab.T,
+                               precision=jax.lax.Precision.HIGHEST)
+                return (p + 1e-30 * jnp.sum(s), acc + s[0, 0])
+
+            t_mm = _time_loop(mm_body, (phi, jnp.float32(0)), reps=20)
+            floor, parts = 128 / t_mm, {"matmul128_ms": round(t_mm * 1e3, 2)}
         print(json.dumps({
             "metric": f"eval (triple,direction)/s — {model} YAGO3-10 scale "
                       "(E=123182, d=500, device filter, steady state)",
-            "value": round(n / dt, 1), "unit": "evals/s"}))
+            "value": round(measured, 1), "unit": "evals/s",
+            "floor_evals_per_s": round(floor, 1),
+            "fraction_of_eval_floor": round(measured / floor, 3),
+            "floor_parts": parts}))
 
 
 def main():
@@ -495,5 +679,8 @@ def main():
 if __name__ == "__main__":
     if "--matrix" in sys.argv or "matrix" in sys.argv[1:]:
         matrix()
+    elif "--decompose" in sys.argv:
+        for case in DECOMPOSE_CASES:
+            decompose(*case)
     else:
         main()
