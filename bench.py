@@ -88,7 +88,14 @@ def _floor_seconds(trainer, spec, tspec, B, n, negative_sharing):
                         three step-shape matmuls ([B,d]x[d,E] forward,
                         [B,E]x[E,d] and [d,B]x[B,E] backward, at the
                         step's compute precision) + the whole-table dense
-                        Adam sweep + the 2B positive-row gather/scatter.
+                        Adam sweep + the 2B positive-row gather/scatter
+                        + the sampled-score extraction pair (r4: the
+                        [B,n] 4-byte-granularity take from [B,E] forward
+                        and its scatter transpose backward — measured
+                        2.6-2.7 ms each at the headline shape, the
+                        single largest dense-step component and an
+                        irreducible part of PER-POSITIVE dense
+                        semantics).
     """
     from knowledgegraphembedding_tpu.train import use_dense_scoring
 
@@ -158,7 +165,29 @@ def _floor_seconds(trainer, spec, tspec, B, n, negative_sharing):
     t_adam = _time_loop(adam_body, (
         table, jnp.zeros_like(table), jnp.zeros_like(table),
         jax.jit(lambda k: jax.random.normal(k, table.shape, table.dtype))(k1)))
-    return t_3mm + t_adam + gather_scatter(2 * B)
+
+    # sampled-score extraction: [B, n] take from the [B, E] score block
+    # (forward) + the matching scatter (backward transpose)
+    S0 = jax.jit(lambda k: jax.random.normal(k, (B, E_log), jnp.float32))(k0)
+    neg_ids = jax.jit(lambda k: jax.random.randint(
+        k, (B, n), 0, E_log, jnp.int32))(k1)
+    g_bn = jax.jit(lambda k: jax.random.normal(k, (B, n), jnp.float32))(k2)
+    rows_bn = jax.lax.broadcasted_iota(jnp.int32, (B, n), 0)
+
+    def take_body(i, st):
+        s, acc = st
+        v = jnp.take_along_axis(s, neg_ids, axis=1)
+        return (s + 1e-30 * acc, acc + v[0, 0] + jnp.sum(v) * 1e-20)
+
+    t_take = _time_loop(take_body, (S0, jnp.float32(0)))
+
+    def dscat_body(i, st):
+        acc, g = st
+        ds = jnp.zeros((B, E_log), jnp.float32).at[rows_bn, neg_ids].add(g)
+        return (acc + ds[0, 0], g * (1 + acc * 1e-30))
+
+    t_dscat = _time_loop(dscat_body, (jnp.float32(0), g_bn))
+    return t_3mm + t_adam + gather_scatter(2 * B) + t_take + t_dscat
 
 
 _DS_CACHE = {}

@@ -61,6 +61,17 @@ def loss_and_logs(
             spec, params, pos, neg, mode,
             compute_dtype=compute_dtype or jnp.float32,
         )
+    elif neg.shape[0] == 1 and pos.shape[0] > 1:
+        # Shared negatives ([1, n] broadcast): rematerialize the negative
+        # forward in the backward instead of storing its [B, n, d]
+        # residuals (~1 GB each at the headline shape — the backward was
+        # 3x the forward). Measured on-chip fwd+bwd 10.5 -> 7.4 ms (-30%);
+        # the row re-gather is only 2B+n rows here, so recompute is cheap.
+        # Per-positive negatives take the OTHER branch on purpose: their
+        # recompute repeats the B*n-row gather — measured 28% SLOWER.
+        negative_score = jax.checkpoint(
+            lambda p: kge.forward(p, spec, (pos, neg), mode, compute_dtype)
+        )(params)
     else:
         negative_score = kge.forward(params, spec, (pos, neg), mode, compute_dtype)
     positive_score = kge.forward(params, spec, pos, scorers.SINGLE, compute_dtype)
