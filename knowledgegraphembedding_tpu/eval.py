@@ -168,7 +168,11 @@ def ranks_batch(
     if matmul_scoring.supports_dense(spec.model_name):
         # Bilinear models: one MXU matmul scores every candidate at once —
         # no candidate-axis loop at all (ops/matmul_scoring.py).
-        scores = matmul_scoring.dense_scores_all(spec, params, pos, mode)  # [B, Etab]
+        scores = matmul_scoring.dense_scores_all(
+            spec, params, pos, mode,
+            compute_dtype=ent.dtype)  # [B, Etab]; dtype follows the params
+        # (a hardcoded f32 here broke f64 rank parity — one flipped rank
+        # at the published ComplEx shape; tools/full_shape_parity.py)
         Etab = scores.shape[1]
         true_ids = pos[:, 0] if mode == scorers.HEAD_BATCH else pos[:, 2]
         true_score = jnp.take_along_axis(scores, true_ids[:, None], axis=1)

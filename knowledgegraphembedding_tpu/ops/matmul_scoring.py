@@ -97,18 +97,22 @@ def dense_scores_all(
     left = phi_for_mode(spec.model_name, fixed, rel, mode)
     # On TPU the MXU's DEFAULT matmul precision truncates f32 operands to
     # bf16 — measured ~3e-3 divergence from the gather path, silently
-    # breaking f32 reference parity. When the caller asked for f32, force
-    # HIGHEST (full f32 via multi-pass); when bf16 was requested, the
-    # default single-pass bf16 is exactly what's wanted.
+    # breaking f32 reference parity. When the caller asked for f32 (or
+    # f64 under jax_enable_x64 parity runs), force HIGHEST; when bf16 was
+    # requested, the default single-pass bf16 is exactly what's wanted.
     precision = (
-        jax.lax.Precision.HIGHEST
-        if compute_dtype == jnp.float32
-        else jax.lax.Precision.DEFAULT
+        jax.lax.Precision.DEFAULT
+        if compute_dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
     )
     return jnp.dot(
         left.astype(compute_dtype),
         ent.T.astype(compute_dtype),
-        preferred_element_type=jnp.float32,
+        # accumulate in the compute dtype (f32 accumulation of an f64
+        # matmul would throw the x64 precision away again)
+        preferred_element_type=(
+            jnp.float32 if compute_dtype == jnp.bfloat16 else compute_dtype
+        ),
         precision=precision,
     )
 

@@ -72,7 +72,9 @@ def _global_loss_and_logs(params_local, spec: ModelSpec, tspec: TrainSpec,
     if train_mod.use_dense_scoring(spec, tspec):
         negative_score = matmul_scoring.dense_negative_scores(
             spec, p_full, pos, neg, mode,
-            compute_dtype=compute_dtype or jnp.float32,
+            # dtype follows the params absent a bf16 override (a hardcoded
+            # f32 silently downcast f64 parity runs; see train.loss_and_logs)
+            compute_dtype=compute_dtype or full_ent.dtype,
         )
     else:
         negative_score = kge.forward(p_full, spec, (pos, neg), mode, compute_dtype)

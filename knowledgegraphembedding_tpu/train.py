@@ -57,9 +57,14 @@ def loss_and_logs(
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     compute_dtype = jnp.bfloat16 if tspec.precision == "bf16" else None
     if use_dense_scoring(spec, tspec):
+        # compute dtype FOLLOWS THE PARAMS when no mixed-precision override
+        # is set: a hardcoded float32 here silently downcast the dense
+        # matmul under jax_enable_x64 — found by the full-shape f64 parity
+        # harness as a broad ~1e-10 param drift vs torch (the gather path
+        # tracked to 1e-15; tools/full_shape_parity.py §leg_f64).
         negative_score = matmul_scoring.dense_negative_scores(
             spec, params, pos, neg, mode,
-            compute_dtype=compute_dtype or jnp.float32,
+            compute_dtype=compute_dtype or params["entity_embedding"].dtype,
         )
     elif neg.shape[0] == 1 and pos.shape[0] > 1:
         # Shared negatives ([1, n] broadcast): rematerialize the negative
