@@ -454,12 +454,15 @@ def _eval_floor_evals_per_s(spec, table, B):
     elementwise ops per complex dim per batch row against the measured
     elementwise rate. Bilinear models floor on the HIGHEST-precision MXU
     matmul instead (measured directly by the caller)."""
-    acc0 = jnp.float32(0)
+    # the table rides the CARRY, never a closure: a closed-over device
+    # array is traced as a CONSTANT and serialized into the remote-compile
+    # request (measured: a 492 MB table -> HTTP 413 on the tunnel's
+    # compile endpoint)
+    def stream_body(i, st):
+        acc, tab = st
+        return (acc + jnp.sum(tab * (1 + acc * 1e-30)), tab)
 
-    def stream_body(i, acc):
-        return acc + jnp.sum(table * (1 + acc * 1e-30))
-
-    t_stream = _time_loop(stream_body, acc0, reps=10)
+    t_stream = _time_loop(stream_body, (jnp.float32(0), table), reps=10)
     span = spec.hidden_dim
     ops = B * spec.nentity * (span * 7 + 1)
     t_compute = ops / _vpu_rate()
@@ -573,13 +576,13 @@ def matrix():
             phi = jax.jit(lambda k: jax.random.normal(
                 k, (128, tab.shape[1]), jnp.float32))(jax.random.PRNGKey(2))
 
-            def mm_body(i, st):
-                p, acc = st
-                s = jnp.matmul(p, tab.T,
+            def mm_body(i, st):  # tab in the carry: see stream_body note
+                p, acc, t = st
+                s = jnp.matmul(p, t.T,
                                precision=jax.lax.Precision.HIGHEST)
-                return (p + 1e-30 * jnp.sum(s), acc + s[0, 0])
+                return (p + 1e-30 * jnp.sum(s), acc + s[0, 0], t)
 
-            t_mm = _time_loop(mm_body, (phi, jnp.float32(0)), reps=20)
+            t_mm = _time_loop(mm_body, (phi, jnp.float32(0), tab), reps=20)
             floor, parts = 128 / t_mm, {"matmul128_ms": round(t_mm * 1e3, 2)}
         print(json.dumps({
             "metric": f"eval (triple,direction)/s — {model} YAGO3-10 scale "
