@@ -447,13 +447,17 @@ def _vpu_rate():
 
 
 def _eval_floor_evals_per_s(spec, table, B):
-    """Floor (evals/s) for one eval batch: the binding resource is the
-    larger of (a) one sequential read of the padded table per batch
-    (candidate tiles stream HBM->VMEM once, shared across the batch rows)
-    and (b) the per-candidate score+compare VPU compute, estimated at ~7
-    elementwise ops per complex dim per batch row against the measured
-    elementwise rate. Bilinear models floor on the HIGHEST-precision MXU
-    matmul instead (measured directly by the caller)."""
+    """TRUE-lower-bound floor (evals/s) for one distance-family eval
+    batch: one sequential read of the padded table (candidate tiles
+    stream HBM->VMEM once, shared across the batch rows) — any evaluator
+    must touch every candidate row. The VPU score compute usually binds
+    ABOVE this; the Pallas kernel's directly measured per-batch time is
+    that number (eval phase decomposition, BENCH_NOTES §Round-4). A
+    hand-estimated op count is reported for context but deliberately NOT
+    folded into the floor — the r4 first cut folded a 7-ops/dim estimate
+    in and produced a 'floor' 3x above the real kernel (fraction 2.95).
+    Bilinear models floor on the HIGHEST-precision MXU matmul instead
+    (measured directly by the caller)."""
     # the table rides the CARRY, never a closure: a closed-over device
     # array is traced as a CONSTANT and serialized into the remote-compile
     # request (measured: a 492 MB table -> HTTP 413 on the tunnel's
@@ -466,9 +470,9 @@ def _eval_floor_evals_per_s(spec, table, B):
     span = spec.hidden_dim
     ops = B * spec.nentity * (span * 7 + 1)
     t_compute = ops / _vpu_rate()
-    return B / max(t_stream, t_compute), {
+    return B / t_stream, {
         "table_stream_ms": round(t_stream * 1e3, 2),
-        "compute_est_ms": round(t_compute * 1e3, 2),
+        "compute_est_ms_not_in_floor": round(t_compute * 1e3, 2),
     }
 
 
