@@ -46,6 +46,14 @@ class TrueIndex:
         order = np.lexsort((values, keys))
         k = keys[order]
         v = values[order].astype(np.int32)
+        # dedupe (key, value) pairs: the reference's true sets are deduped
+        # (codes/dataloader.py §get_true_head_and_tail uses np.unique per
+        # key), every membership consumer is idempotent, and the dense
+        # eval path's window-CORRECTION rank (eval.dense_ranks_window)
+        # subtracts window entries and therefore REQUIRES uniqueness
+        keep = np.ones(len(k), bool)
+        keep[1:] = (k[1:] != k[:-1]) | (v[1:] != v[:-1])
+        k, v = k[keep], v[keep]
         uniq, starts = np.unique(k, return_index=True)
         offsets = np.empty(len(uniq) + 1, np.int64)
         offsets[:-1] = starts

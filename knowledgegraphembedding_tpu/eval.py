@@ -329,6 +329,49 @@ def _device_mask(pos, offsets, counts, values, *, k_max, mode, nentity,
 # vs ~2.3k inner-loop). The scan removes the per-batch dispatches entirely.
 # ---------------------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnames=("spec", "mode", "k_max"))
+def dense_ranks_window(params, pos, offsets, counts, values, *,
+                       spec: ModelSpec, mode: str, k_max: int):
+    """Filtered ranks for bilinear models WITHOUT materializing a [B, W]
+    filter mask: rank = 1 + #{ALL candidates beating the true}
+    − #{FILTERED candidates beating}. The filtered candidates of a row
+    are exactly its CSR window (≤ k_max unique ids — TrueIndex dedupes),
+    so the correction is one [B, k_max] take from the score block
+    instead of a bool scatter + [B, W] materialize + masked compare.
+    Measured at YAGO scale the mask build was ~90% of the bilinear eval
+    batch (matmul 0.63 ms vs mask ~5 ms per 128-row batch; BENCH_NOTES
+    §Round-4) — this path leaves only the matmul + two compares."""
+    ent = params["entity_embedding"]
+    scores = matmul_scoring.dense_scores_all(
+        spec, params, pos, mode, compute_dtype=ent.dtype)  # [B, Etab]
+    E = spec.nentity
+    Etab = scores.shape[1]
+    B = pos.shape[0]
+    if mode == scorers.HEAD_BATCH:
+        keys = pos[:, 1] * E + pos[:, 2]
+        true_ids = pos[:, 0]
+    else:
+        keys = pos[:, 0] * spec.nrelation + pos[:, 1]
+        true_ids = pos[:, 2]
+    true_score = jnp.take_along_axis(scores, true_ids[:, None], axis=1)
+    ids = jax.lax.broadcasted_iota(jnp.int32, (1, Etab), 1)
+    # the true entity never beats itself: scores[b, true] IS true_score
+    # (same element), so strict > excludes it exactly
+    beats_all = jnp.sum((scores > true_score) & (ids < E), axis=1,
+                        dtype=jnp.int32)
+    starts = jnp.take(offsets, keys)
+    cnts = jnp.take(counts, keys)
+    win = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(values, (s,), (k_max,))
+    )(starts)  # [B, k_max] contiguous reads
+    valid = jax.lax.broadcasted_iota(jnp.int32, (B, k_max), 1) < cnts[:, None]
+    win_scores = jnp.take_along_axis(scores, win, axis=1)
+    beats_filtered = jnp.sum(
+        (win_scores > true_score) & valid & (win != true_ids[:, None]),
+        axis=1, dtype=jnp.int32)
+    return beats_all - beats_filtered + 1
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("spec", "mode", "chunk", "k_max", "width"),
@@ -336,7 +379,13 @@ def _device_mask(pos, offsets, counts, values, *, k_max, mode, nentity,
 def _eval_scan_xla(params, offsets, counts, values, pos_stack, *,
                    spec: ModelSpec, mode: str, chunk: int, k_max: int,
                    width: int):
+    dense = matmul_scoring.supports_dense(spec.model_name)
+
     def body(_, pos):
+        if dense:
+            return None, dense_ranks_window(
+                params, pos, offsets, counts, values, spec=spec, mode=mode,
+                k_max=k_max)
         mask = _device_mask(
             pos, offsets, counts, values, k_max=k_max, mode=mode,
             nentity=spec.nentity, nrelation=spec.nrelation, width=width,
