@@ -162,6 +162,72 @@ def _ranks_body(spec: ModelSpec, mesh, mode: str):
     return ranks
 
 
+def _ranks_body_window(spec: ModelSpec, mesh, mode: str):
+    """Window-correction SPMD ranks for BILINEAR models (the fleet
+    analogue of eval.dense_ranks_window): no [B, W] filter mask is
+    materialized — rank = 1 + #{all candidates beating} − #{CSR-window
+    candidates beating}. Measured single-chip the mask build was ~90% of
+    a bilinear eval batch (BENCH_NOTES §Round-4).
+
+    1-D mesh: each shard counts beats among ITS rows AND subtracts the
+    window entries that fall in its row range (window ids are global;
+    ownership = [offset, offset + e_local)), one psum total. 2-D mesh:
+    written densely for GSPMD, the window take is a tiny [B, k_max]
+    gather."""
+    E = spec.nentity
+
+    if is_model_sharded(mesh):
+        def ranks2d_w(params, pos, win, valid):
+            left, true_score, true_ids = _left_and_true(params, spec, pos, mode)
+            modulus = params.get("modulus", jnp.float32(1.0))
+            table = params["entity_embedding"]
+            Epad = table.shape[0]
+            scores = _local_scores(table, left, spec, modulus)  # [B, Epad]
+            ids = jax.lax.broadcasted_iota(jnp.int32, (1, Epad), 1)
+            beats_all = jnp.sum(
+                (scores > true_score[:, None]) & (ids < E)
+                & (ids != true_ids[:, None]), axis=1, dtype=jnp.int32)
+            win_scores = jnp.take_along_axis(scores, win, axis=1)
+            beats_f = jnp.sum(
+                (win_scores > true_score[:, None]) & valid
+                & (win != true_ids[:, None]), axis=1, dtype=jnp.int32)
+            return beats_all - beats_f + 1
+
+        return ranks2d_w
+
+    def ranks_w(params, pos, win, valid):
+        left, true_score, true_ids = _left_and_true(params, spec, pos, mode)
+        modulus = params.get("modulus", jnp.float32(1.0))
+
+        def local(table_local, left, true_score, true_ids, win, valid):
+            shard = jax.lax.axis_index(DATA_AXIS)
+            e_local = table_local.shape[0]
+            offset = shard * e_local
+            scores = _local_scores(table_local, left, spec, modulus)
+            ids = offset + jax.lax.broadcasted_iota(
+                jnp.int32, (1, e_local), 1)
+            beats_all = jnp.sum(
+                (scores > true_score[:, None]) & (ids < E)
+                & (ids != true_ids[:, None]), axis=1, dtype=jnp.int32)
+            mine = (win >= offset) & (win < offset + e_local)
+            win_scores = jnp.take_along_axis(
+                scores, jnp.clip(win - offset, 0, e_local - 1), axis=1)
+            beats_f = jnp.sum(
+                (win_scores > true_score[:, None]) & valid & mine
+                & (win != true_ids[:, None]), axis=1, dtype=jnp.int32)
+            return jax.lax.psum(beats_all - beats_f, DATA_AXIS)
+
+        counts = shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(DATA_AXIS, None), P(), P(), P(), P(), P()),
+            out_specs=P(),
+        )(params["entity_embedding"], left, true_score, true_ids, win, valid)
+        return counts + 1
+
+    return ranks_w
+
+
 def _param_shardings(spec: ModelSpec, mesh):
     col = MODEL_AXIS if is_model_sharded(mesh) else None
     table_sh = NamedSharding(mesh, P(DATA_AXIS, col))
@@ -201,10 +267,26 @@ def get_sharded_scan_fn(spec: ModelSpec, mesh, mode: str, k_max: int,
     fn = _ranks_fn_cache.get(key)
     if fn is not None:
         return fn
-    ranks = _ranks_body(spec, mesh, mode)
+    dense = matmul_scoring.supports_dense(spec.model_name)
+    ranks = (_ranks_body_window if dense else _ranks_body)(spec, mesh, mode)
 
     def scan_ranks(params, offsets, counts, values, pos_stack):
         def body(_, pos):
+            if dense:
+                # window-correction path: replicated tiny window build,
+                # no [B, W] mask (see _ranks_body_window)
+                if mode == scorers.HEAD_BATCH:
+                    keys = pos[:, 1] * spec.nentity + pos[:, 2]
+                else:
+                    keys = pos[:, 0] * spec.nrelation + pos[:, 1]
+                starts = jnp.take(offsets, keys)
+                cnts = jnp.take(counts, keys)
+                win = jax.vmap(
+                    lambda s: jax.lax.dynamic_slice(values, (s,), (k_max,))
+                )(starts)
+                valid = jax.lax.broadcasted_iota(
+                    jnp.int32, win.shape, 1) < cnts[:, None]
+                return None, ranks(params, pos, win, valid)
             mask = eval_mod._device_mask(
                 pos, offsets, counts, values, k_max=k_max, mode=mode,
                 nentity=spec.nentity, nrelation=spec.nrelation, width=width,
