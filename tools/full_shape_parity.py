@@ -167,9 +167,6 @@ def run_torch(p0, batches, spec, *, dtype, steps, warm_up, log,
             torch.from_numpy(np.asarray(w)).to(dtype), mode, MODEL,
             GAMMA, spec.embedding_range, adv=True, adv_temp=ADV_TEMP,
             uni_weight=False, regularization=REG)
-        opt.zero_grad()
-        loss.backward()
-        opt.step()
         if REG and dtype == torch.float32:
             # torch-CPU f32 norm(3)**3 over 29M elements under-sums by
             # 4.4% (measured: 57,283 vs f64 59,920; limited-width f32
@@ -179,13 +176,19 @@ def run_torch(p0, batches, spec, *, dtype, steps, warm_up, log,
             # cancels algebraically, so trajectories are unaffected
             # (ranks matched exactly while windows sat 0.0263 apart =
             # lambda * the measured sum error). Windows are therefore
-            # compared with the reg VALUE recomputed at f64.
+            # compared with the reg VALUE recomputed at f64 — on the
+            # PRE-step params (the loss's own reg input; computing it
+            # post-step left a one-step-stale offset that decayed with
+            # the LR, ~0.009 at lr=1e-3).
             with torch.no_grad():
                 reg64 = REG * (float(ent.double().norm(p=3) ** 3)
                                + float(rel.double().norm(p=3) ** 3))
             acc += float(((ploss + nloss) / 2).detach()) + reg64
         else:
             acc += float(loss.detach())
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
         if (step + 1) % log == 0:
             windows.append(acc / log)
             acc = 0.0
@@ -284,7 +287,7 @@ def leg_f32() -> dict:
 
     cache = os.path.join(
         REPO, f"tools/.fullshape_f32_{MODEL}_E{E}_B{B}_n{N}_d{D}"
-              f"_s{STEPS}_seed{SEED}{'_regv2' if REG else ''}.npz")
+              f"_s{STEPS}_seed{SEED}{'_regv3' if REG else ''}.npz")
     if os.path.exists(cache):
         z = np.load(cache)
         t_windows = z["windows"].tolist()
