@@ -536,7 +536,15 @@ def matrix():
                       "value": round(tps, 1), "unit": "triples/s",
                       "fraction_of_primitive_floor": frac}))
 
-    # Evaluation throughput (YAGO3-10 scale), device-resident eval path
+    eval_rows()
+
+
+def eval_rows():
+    """Evaluation throughput (YAGO3-10 scale), device-resident eval path.
+    4096 test triples per mode: a 512-triple split is one scan dispatch
+    per mode for the 128-row bilinear batches, so its steady rate is
+    tunnel-RTT-bound (~23k evals/s) and masks the compute rate the
+    window-rank path actually delivers (~70k; BENCH_NOTES §Round-4)."""
     import time
 
     from knowledgegraphembedding_tpu import eval as eval_mod
@@ -546,7 +554,7 @@ def matrix():
     from knowledgegraphembedding_tpu.models import kge
 
     ds = make_random_kg(nentity=123182, nrelation=37, ntriples=400000,
-                        n_valid=500, n_test=512, seed=0)
+                        n_valid=500, n_test=4096, seed=0)
     filters = FilterSets.build(ds.train, ds.all_true_triples, ds.nentity,
                                ds.nrelation)
     for model in ("RotatE", "DistMult"):
@@ -590,7 +598,8 @@ def matrix():
             floor, parts = 128 / t_mm, {"matmul128_ms": round(t_mm * 1e3, 2)}
         print(json.dumps({
             "metric": f"eval (triple,direction)/s — {model} YAGO3-10 scale "
-                      "(E=123182, d=500, device filter, steady state)",
+                      "(E=123182, d=500, device filter, 4096-triple split, "
+                      "steady state)",
             "value": round(measured, 1), "unit": "evals/s",
             "floor_evals_per_s": round(floor, 1),
             "fraction_of_eval_floor": round(measured / floor, 3),
