@@ -70,6 +70,19 @@ PRESETS = {
         MODEL="RotatE", E=40943, R=11, NTRIPLES=86835, D=500,
         DE=True, DR=False, GAMMA=6.0, ADV_TEMP=0.5, LR=5e-5, REG=0.0,
         B=512, N=1024),
+    # the remaining two best_config model families at their published
+    # FB15k-237 shapes: TransE (single-width L1 distance) and pRotatE —
+    # the only model whose TRAINABLE SCALAR (modulus, codes/model.py
+    # §KGEModel.__init__ ≈L52-55) rides Adam alongside the tables, a
+    # regime the toy-dim tests pin but never at width
+    "fb237-transe": dict(
+        MODEL="TransE", E=14541, R=237, NTRIPLES=272115, D=1000,
+        DE=False, DR=False, GAMMA=9.0, ADV_TEMP=1.0, LR=5e-5, REG=0.0,
+        B=1024, N=256),
+    "fb237-protate": dict(
+        MODEL="pRotatE", E=14541, R=237, NTRIPLES=272115, D=1000,
+        DE=False, DR=False, GAMMA=9.0, ADV_TEMP=1.0, LR=5e-5, REG=0.0,
+        B=1024, N=256),
 }
 
 # defaults = the original fb237-rotate shape; __main__ overwrites from
@@ -140,13 +153,18 @@ def run_torch(p0, batches, spec, *, dtype, steps, warm_up, log,
     import torch
     import oracle_torch as oracle
 
-    start = 0
+    has_mod = "modulus" in p0          # pRotatE's trainable scalar
+    start, mod = 0, None
     if ckpt_path and os.path.exists(ckpt_path):
         st = torch.load(ckpt_path, weights_only=False)
         ent = st["ent"].requires_grad_(True)
         rel = st["rel"].requires_grad_(True)
+        leaves = [ent, rel]
+        if has_mod:
+            mod = st["mod"].requires_grad_(True)
+            leaves.append(mod)
         lr, warm = st["lr"], st["warm"]
-        opt = torch.optim.Adam([ent, rel], lr=lr)
+        opt = torch.optim.Adam(leaves, lr=lr)
         opt.load_state_dict(st["opt"])
         windows, acc, start = st["windows"], st["acc"], st["step"]
         print(f"[f32] torch leg resumed at step {start}/{steps}",
@@ -156,8 +174,13 @@ def run_torch(p0, batches, spec, *, dtype, steps, warm_up, log,
                            requires_grad=True)
         rel = torch.tensor(np.array(p0["relation_embedding"]), dtype=dtype,
                            requires_grad=True)
+        leaves = [ent, rel]
+        if has_mod:
+            mod = torch.tensor(np.array(p0["modulus"]), dtype=dtype,
+                               requires_grad=True)
+            leaves.append(mod)
         lr, warm = LR, warm_up
-        opt = torch.optim.Adam([ent, rel], lr=lr)
+        opt = torch.optim.Adam(leaves, lr=lr)
         windows, acc = [], 0.0
     for step in range(start, steps):
         pos, neg, w, mode = batches[step]
@@ -165,8 +188,8 @@ def run_torch(p0, batches, spec, *, dtype, steps, warm_up, log,
             ent, rel, torch.from_numpy(np.asarray(pos, np.int64)),
             torch.from_numpy(np.asarray(neg, np.int64)),
             torch.from_numpy(np.asarray(w)).to(dtype), mode, MODEL,
-            GAMMA, spec.embedding_range, adv=True, adv_temp=ADV_TEMP,
-            uni_weight=False, regularization=REG)
+            GAMMA, spec.embedding_range, modulus=mod, adv=True,
+            adv_temp=ADV_TEMP, uni_weight=False, regularization=REG)
         if REG and dtype == torch.float32:
             # torch-CPU f32 norm(3)**3 over 29M elements under-sums by
             # 4.4% (measured: 57,283 vs f64 59,920; limited-width f32
@@ -194,20 +217,23 @@ def run_torch(p0, batches, spec, *, dtype, steps, warm_up, log,
             acc = 0.0
         if step >= warm:
             lr = lr / 10.0
-            opt = torch.optim.Adam([ent, rel], lr=lr)
+            opt = torch.optim.Adam(leaves, lr=lr)
             warm *= 3
         if ckpt_path and ((step + 1) % save_every == 0 or step == steps - 1):
             _atomic_torch_save(
                 {"ent": ent.detach().clone(), "rel": rel.detach().clone(),
+                 **({"mod": mod.detach().clone()} if has_mod else {}),
                  "opt": opt.state_dict(), "lr": lr, "warm": warm,
                  "windows": windows, "acc": acc, "step": step + 1}, ckpt_path)
             print(f"[f32] torch step {step + 1}/{steps} checkpointed",
                   file=sys.stderr, flush=True)
-    return ent.detach(), rel.detach(), windows
+    return ent.detach(), rel.detach(), windows, \
+        (mod.detach() if has_mod else None)
 
 
 def torch_filtered_ranks(ent, rel, test, filters, spec, batch=32,
-                         ckpt_path=None, save_every=8, e_chunk=1024):
+                         ckpt_path=None, save_every=8, e_chunk=1024,
+                         modulus=None):
     """Reference test_step ranks straight from the oracle's scores.
 
     With ckpt_path the (mode, batch) units completed so far are persisted
@@ -240,7 +266,7 @@ def torch_filtered_ranks(ent, rel, test, filters, spec, batch=32,
             true = pos[:, 0] if mode == "head-batch" else pos[:, 2]
             true_score = oracle.forward(
                 ent, rel, pos, true[:, None], mode, MODEL, GAMMA,
-                spec.embedding_range)
+                spec.embedding_range, modulus=modulus)
             mask = torch.from_numpy(
                 filters.filter_mask_rows(posn.astype(np.int32), mode)[:, :E])
             beats = torch.zeros(len(pos), dtype=torch.int64)
@@ -248,7 +274,8 @@ def torch_filtered_ranks(ent, rel, test, filters, spec, batch=32,
                 idx = torch.arange(c0, min(c0 + e_chunk, E))
                 neg = idx.unsqueeze(0).expand(len(pos), len(idx))
                 sc = oracle.forward(ent, rel, pos, neg, mode, MODEL,
-                                    GAMMA, spec.embedding_range)
+                                    GAMMA, spec.embedding_range,
+                                    modulus=modulus)
                 beats += ((sc > true_score) & ~mask[:, c0:c0 + len(idx)]
                           & (idx[None, :] != true[:, None])).sum(1)
             ranks.extend((beats + 1).tolist())
@@ -298,7 +325,7 @@ def leg_f32() -> dict:
               flush=True)
     else:
         t0 = time.time()
-        ent, rel, t_windows = run_torch(
+        ent, rel, t_windows, mod = run_torch(
             p0, batches, spec, dtype=torch.float32, steps=STEPS,
             warm_up=STEPS // 2, log=LOG, ckpt_path=cache + ".train.ckpt")
         t_torch = time.time() - t0
@@ -307,7 +334,8 @@ def leg_f32() -> dict:
         t0 = time.time()
         t_metrics = metrics_of(
             torch_filtered_ranks(ent, rel, ds.test, filters, spec,
-                                 ckpt_path=cache + ".eval.ckpt"))
+                                 ckpt_path=cache + ".eval.ckpt",
+                                 modulus=mod))
         t_torch_eval = time.time() - t0
         print(f"[f32] torch eval done in {t_torch_eval:.0f}s", file=sys.stderr,
               flush=True)
@@ -335,8 +363,10 @@ def leg_f32() -> dict:
         p0_perm = {
             "entity_embedding": _perm_cols(p0["entity_embedding"], pi, DE),
             "relation_embedding": _perm_cols(p0["relation_embedding"], pi, DR),
+            # the modulus scalar is permutation-invariant: pass it through
+            **({"modulus": p0["modulus"]} if "modulus" in p0 else {}),
         }
-        ent_p, rel_p, perm_windows = run_torch(
+        ent_p, rel_p, perm_windows, mod_p = run_torch(
             p0_perm, batches, spec, dtype=torch.float32, steps=STEPS,
             warm_up=STEPS // 2, log=LOG, ckpt_path=cache_perm + ".train.ckpt")
         ent_n = torch.from_numpy(
@@ -345,7 +375,8 @@ def leg_f32() -> dict:
             _perm_cols(rel_p.numpy(), pi, DR, inverse=True))
         perm_metrics = metrics_of(
             torch_filtered_ranks(ent_n, rel_n, ds.test, filters, spec,
-                                 ckpt_path=cache_perm + ".eval.ckpt"))
+                                 ckpt_path=cache_perm + ".eval.ckpt",
+                                 modulus=mod_p))
         noise_window = max(abs(a - b)
                            for a, b in zip(perm_windows, t_windows))
         noise_metrics = {k: abs(perm_metrics[k] - t_metrics[k]) for k in
@@ -473,20 +504,22 @@ def leg_f64() -> dict:
     ckpt = os.path.join(
         REPO, f"tools/.fullshape_f64_{MODEL}_E{E}_B{B64}_n{N}_d{D}"
               f"_s{STEPS64}_seed{SEED}")
-    ent, rel, t_windows = run_torch(
+    ent, rel, t_windows, mod = run_torch(
         p0, batches, spec, dtype=torch.float64, steps=STEPS64,
         warm_up=warm_up, log=LOG64, ckpt_path=ckpt + ".train.ckpt")
     sub = ds.test[:N_TEST64]
     t_ranks = torch_filtered_ranks(ent, rel, sub, filters, spec,
-                                   ckpt_path=ckpt + ".eval.ckpt")
+                                   ckpt_path=ckpt + ".eval.ckpt",
+                                   modulus=mod)
 
     # --- torch-vs-torch op-order noise yardstick (column-permuted leg) ---
     pi = np.random.default_rng(123).permutation(D)
     p0_perm = {
         "entity_embedding": _perm_cols(p0["entity_embedding"], pi, DE),
         "relation_embedding": _perm_cols(p0["relation_embedding"], pi, DR),
+        **({"modulus": p0["modulus"]} if "modulus" in p0 else {}),
     }
-    ent_p, rel_p, perm_windows = run_torch(
+    ent_p, rel_p, perm_windows, mod_p = run_torch(
         p0_perm, batches, spec, dtype=torch.float64, steps=STEPS64,
         warm_up=warm_up, log=LOG64, ckpt_path=ckpt + "_perm.train.ckpt")
     ent_n = torch.from_numpy(
@@ -495,9 +528,11 @@ def leg_f64() -> dict:
         _perm_cols(rel_p.numpy(), pi, DR, inverse=True))
     noise_window = max(abs(a - b) for a, b in zip(perm_windows, t_windows))
     noise_param = max(
-        float((ent_n - ent).abs().max()), float((rel_n - rel).abs().max()))
+        float((ent_n - ent).abs().max()), float((rel_n - rel).abs().max()),
+        *([abs(float(mod_p) - float(mod))] if mod is not None else []))
     noise_ranks = torch_filtered_ranks(ent_n, rel_n, sub, filters, spec,
-                                       ckpt_path=ckpt + "_perm.eval.ckpt")
+                                       ckpt_path=ckpt + "_perm.eval.ckpt",
+                                       modulus=mod_p)
     noise_mism = int(np.sum(noise_ranks != t_ranks))
     noise_dmrr = abs(float(np.mean(1.0 / noise_ranks))
                      - float(np.mean(1.0 / t_ranks)))
@@ -526,6 +561,9 @@ def leg_f64() -> dict:
                                     - {"entity_embedding": ent,
                                        "relation_embedding": rel}[k].numpy())))
              for k in ("entity_embedding", "relation_embedding")}
+    if mod is not None:
+        p_err["modulus"] = abs(
+            float(trainer.params["modulus"]) - float(mod))
     # framework ranks via the same host path test_step drives (eval.py
     # host branch), collected raw for an EXACT comparison
     chunk = 4096
