@@ -25,9 +25,33 @@ from __future__ import annotations
 import math
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 PI = math.pi
+
+
+@jax.custom_jvp
+def abs_ref(x):
+    """|x| with the REFERENCE subgradient at the kink: d|x|/dx(0) = 0.
+
+    torch's abs/norm(p=1) backward is ``sign(x)`` (sign(0) = 0); JAX's
+    ``lax.abs`` picks +1 at exactly 0. The choice is measure-zero on
+    paper, but embedding init values are f32-granular, so exact
+    cancellations in ``h + r - t`` really occur (~1 per 33M score
+    elements at the FB15k-237 TransE shape, measured) and each flips one
+    gradient coefficient by the full +/-weight — the full-shape f64
+    parity harness caught a 5.6e-7 param drift vs torch's own 3e-15
+    op-order noise from a single such element. Primal is identical;
+    only the tangent rule changes, so forward/eval paths are unaffected
+    (reference: codes/model.py §TransE ≈L172-180, §pRotatE ≈L247-265)."""
+    return jnp.abs(x)
+
+
+@abs_ref.defjvp
+def _abs_ref_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    return jnp.abs(x), jnp.sign(x) * dx
 
 HEAD_BATCH = "head-batch"
 TAIL_BATCH = "tail-batch"
@@ -55,7 +79,7 @@ def transe(h, r, t, gamma: float, mode: str):
         score = h + (r - t)
     else:
         score = (h + r) - t
-    return gamma - jnp.sum(jnp.abs(score), axis=-1, dtype=_acc(score))
+    return gamma - jnp.sum(abs_ref(score), axis=-1, dtype=_acc(score))
 
 
 def distmult(h, r, t, mode: str):
@@ -124,7 +148,7 @@ def protate(h, r, t, gamma: float, embedding_range: float, modulus, mode: str):
         score = ph + (pr - pt)
     else:
         score = (ph + pr) - pt
-    score = jnp.abs(jnp.sin(score))
+    score = abs_ref(jnp.sin(score))
     return gamma - jnp.sum(score, axis=-1, dtype=_acc(score)) * modulus
 
 

@@ -147,3 +147,42 @@ def test_model_spec_validation():
         make_spec("ComplEx", True, False)
     with pytest.raises(ValueError):
         make_spec("NoSuchModel", False, False)
+
+
+def test_abs_kink_subgradient_matches_torch():
+    """d|x|/dx at EXACTLY 0 must be 0 (torch's sign(0) convention), not
+    JAX's default +1. Embedding init values are f32-granular, so exact
+    cancellations in h + r - t really occur (~1 per 33M score elements at
+    the FB15k-237 TransE shape, measured by tools/full_shape_parity.py:
+    one kink element drove a 5.6e-7 f64 param drift vs torch's own 3e-15
+    op-order noise). TransE's L1 and pRotatE's |sin| both route through
+    scorers.abs_ref (reference: codes/model.py §TransE ≈L172, §pRotatE
+    ≈L247 — torch.norm(p=1)/abs backward is sign(x))."""
+    import jax
+
+    g = jax.grad(scorers.abs_ref)(0.0)
+    assert float(g) == 0.0
+    assert float(jax.grad(scorers.abs_ref)(2.0)) == 1.0
+    assert float(jax.grad(scorers.abs_ref)(-2.0)) == -1.0
+
+    # the kink inside a full TransE loss-shaped expression: a score element
+    # that is exactly zero contributes zero gradient to every operand
+    def transe_sum(h):
+        r = jnp.asarray([1.0, 2.0])
+        t = jnp.asarray([4.0, -1.0])  # h+r-t == [0, 4] at h=[3, 1]
+        return jnp.sum(scorers.transe(h, r, t, 9.0, "single"))
+
+    gh = jax.grad(transe_sum)(jnp.asarray([3.0, 1.0]))
+    assert float(gh[0]) == 0.0      # the exactly-cancelled column
+    assert float(gh[1]) == -1.0     # ordinary column: -d|x|/dx = -sign(4)
+
+    def protate_sum(h):
+        # phase difference exactly 0 in col 0 via identical h/t, r = 0
+        r = jnp.asarray([0.0, 1.0])
+        t = jnp.asarray([3.0, 1.0])
+        return jnp.sum(scorers.protate(
+            h, r, t, 9.0, 2.0, jnp.asarray(1.0), "single"))
+
+    gp = jax.grad(protate_sum)(jnp.asarray([3.0, 1.0]))
+    assert float(gp[0]) == 0.0
+    assert float(gp[1]) != 0.0
