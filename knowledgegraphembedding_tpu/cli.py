@@ -110,9 +110,10 @@ def parse_args(argv=None) -> RunConfig:
                    default=True,
                    help="write periodic checkpoints from a background "
                         "thread after a device-side state snapshot "
-                        "(identical artifacts, zero train-loop stall; "
-                        "single-device trainers — mesh/multi-host saves "
-                        "stay synchronous)")
+                        "(identical artifacts, zero train-loop stall); "
+                        "composes with --sharded_checkpoint on fleets — "
+                        "each process snapshots its local blocks and "
+                        "writes them in the background")
     p.add_argument("--sharded_checkpoint", action="store_true",
                    help="mesh fleets: periodic checkpoints write each "
                         "process's local table/moment blocks to its own "

@@ -29,13 +29,14 @@ E, R, D, B, N = 48, 5, 8, 16, 12
 STEPS, WARM, LOG = 6, 3, 2
 
 
-def _toy():
+def _toy(model_name="RotatE"):
     from knowledgegraphembedding_tpu.config import ModelSpec
     from knowledgegraphembedding_tpu.models import kge
     import jax
 
-    spec = ModelSpec(model_name="RotatE", nentity=E, nrelation=R,
-                     hidden_dim=D, gamma=4.0, double_entity_embedding=True)
+    spec = ModelSpec(model_name=model_name, nentity=E, nrelation=R,
+                     hidden_dim=D, gamma=4.0,
+                     double_entity_embedding=(model_name == "RotatE"))
     p0 = kge.init_params(spec, jax.random.PRNGKey(3))
     rng = np.random.default_rng(7)
     batches = []
@@ -49,9 +50,12 @@ def _toy():
     return spec, p0, batches
 
 
-def test_run_torch_resume_bit_identical(tmp_path):
-    spec, p0, batches = _toy()
-    ref_ent, ref_rel, ref_win = fsp.run_torch(
+@pytest.mark.parametrize("model_name", ["RotatE", "pRotatE"])
+def test_run_torch_resume_bit_identical(tmp_path, monkeypatch, model_name):
+    # run_torch dispatches the oracle via the module-global MODEL
+    monkeypatch.setattr(fsp, "MODEL", model_name)
+    spec, p0, batches = _toy(model_name)
+    ref_ent, ref_rel, ref_win, ref_mod = fsp.run_torch(
         p0, batches, spec, dtype=torch.float32, steps=STEPS, warm_up=WARM,
         log=LOG)
 
@@ -61,13 +65,37 @@ def test_run_torch_resume_bit_identical(tmp_path):
     fsp.run_torch(p0, batches, spec, dtype=torch.float32, steps=4,
                   warm_up=WARM, log=LOG, ckpt_path=ck, save_every=2)
     assert os.path.exists(ck)
-    ent, rel, win = fsp.run_torch(
+    ent, rel, win, mod = fsp.run_torch(
         p0, batches, spec, dtype=torch.float32, steps=STEPS, warm_up=WARM,
         log=LOG, ckpt_path=ck, save_every=2)
 
     assert win == ref_win
     assert torch.equal(ent, ref_ent)
     assert torch.equal(rel, ref_rel)
+    # pRotatE's trainable modulus rides Adam alongside the tables
+    # (codes/model.py §KGEModel.__init__ ≈L52-55); it must survive the
+    # interrupt+resume round-trip bit-identically too
+    if model_name == "pRotatE":
+        assert mod is not None and torch.equal(mod, ref_mod)
+    else:
+        assert mod is None and ref_mod is None
+
+
+def test_run_torch_resume_stale_ckpt_without_modulus_errors(
+        tmp_path, monkeypatch):
+    """A pre-modulus-era checkpoint resumed under a pRotatE spec must fail
+    with an explicit message, not a bare KeyError (ADVICE r4 low)."""
+    monkeypatch.setattr(fsp, "MODEL", "pRotatE")
+    spec, p0, batches = _toy("pRotatE")
+    ck = str(tmp_path / "stale.ckpt")
+    fsp.run_torch(p0, batches, spec, dtype=torch.float32, steps=4,
+                  warm_up=WARM, log=LOG, ckpt_path=ck, save_every=2)
+    st = torch.load(ck, weights_only=False)
+    del st["mod"]
+    fsp._atomic_torch_save(st, ck)
+    with pytest.raises(RuntimeError, match="stale checkpoint"):
+        fsp.run_torch(p0, batches, spec, dtype=torch.float32, steps=STEPS,
+                      warm_up=WARM, log=LOG, ckpt_path=ck, save_every=2)
 
 
 def test_filtered_ranks_resume_bit_identical(tmp_path, monkeypatch):

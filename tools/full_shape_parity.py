@@ -161,6 +161,12 @@ def run_torch(p0, batches, spec, *, dtype, steps, warm_up, log,
         rel = st["rel"].requires_grad_(True)
         leaves = [ent, rel]
         if has_mod:
+            if "mod" not in st:
+                raise RuntimeError(
+                    f"stale checkpoint format: {ckpt_path} lacks the "
+                    f"pRotatE modulus leaf ('mod'); it predates the "
+                    f"trainable-modulus plumbing — delete it to restart "
+                    f"from p0")
             mod = st["mod"].requires_grad_(True)
             leaves.append(mod)
         lr, warm = st["lr"], st["warm"]
