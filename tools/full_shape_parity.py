@@ -290,6 +290,15 @@ def torch_filtered_ranks(ent, rel, test, filters, spec, batch=32,
     return np.asarray(ranks, np.float64)
 
 
+#: f32-leg comparison keys. MR included (it is a published reference
+#: metric, SURVEY §6) with its own rank-granularity floor: at 2048 pooled
+#: ranks a single borderline candidate flip moves MR by E/2048 ≈ 7 at
+#: fb237 scale, so the absolute floor is per-key, not the MRR 0.005.
+F32_METRIC_KEYS = ("MRR", "MR", "HITS@1", "HITS@3", "HITS@10")
+F32_METRIC_FLOORS = {"MRR": 0.005, "MR": 10.0, "HITS@1": 0.005,
+                     "HITS@3": 0.005, "HITS@10": 0.005}
+
+
 def metrics_of(ranks):
     return {
         "MRR": float(np.mean(1.0 / ranks)),
@@ -360,8 +369,10 @@ def leg_f32() -> dict:
     if os.path.exists(cache_perm):
         zp = np.load(cache_perm)
         noise_window = float(zp["noise_window"])
-        noise_metrics = {k: float(zp[f"nm_{k}"]) for k in
-                         ("MRR", "HITS@1", "HITS@3", "HITS@10")}
+        # pre-r5 perm caches lack nm_MR; compare only the keys the cache
+        # carries rather than forfeit the (hours-costly) cache
+        noise_metrics = {k: float(zp[f"nm_{k}"]) for k in F32_METRIC_KEYS
+                         if f"nm_{k}" in zp}
         print(f"[f32] perm noise leg loaded from cache {cache_perm}",
               file=sys.stderr, flush=True)
     else:
@@ -385,8 +396,8 @@ def leg_f32() -> dict:
                                  modulus=mod_p))
         noise_window = max(abs(a - b)
                            for a, b in zip(perm_windows, t_windows))
-        noise_metrics = {k: abs(perm_metrics[k] - t_metrics[k]) for k in
-                         ("MRR", "HITS@1", "HITS@3", "HITS@10")}
+        noise_metrics = {k: abs(perm_metrics[k] - t_metrics[k])
+                         for k in F32_METRIC_KEYS}
         np.savez(cache_perm, noise_window=noise_window,
                  **{f"nm_{k}": v for k, v in noise_metrics.items()})
         for suffix in (".train.ckpt", ".eval.ckpt"):
@@ -427,7 +438,7 @@ def leg_f32() -> dict:
     assert len(j_windows) == len(t_windows) == STEPS // LOG
     w_err = [abs(a - b) for a, b in zip(j_windows, t_windows)]
     m_err = {k: abs(j_metrics[k] - t_metrics[k])
-             for k in ("MRR", "HITS@1", "HITS@3", "HITS@10")}
+             for k in F32_METRIC_KEYS if k in noise_metrics}
     import jax
     out = {
         "leg": "f32_full_shape",
@@ -455,7 +466,8 @@ def leg_f32() -> dict:
         # lr=1e-3 regime genuinely diverges at f32 (Adam eps-regime
         # amplification), so fixed bands cannot be regime-independent.
         "pass": bool(max(w_err) <= max(10 * noise_window, 2e-3)
-                     and all(v <= max(10 * noise_metrics[k], 0.005)
+                     and all(v <= max(10 * noise_metrics[k],
+                                      F32_METRIC_FLOORS[k])
                              for k, v in m_err.items())),
     }
     return out
@@ -628,7 +640,38 @@ def leg_f64() -> dict:
     return out
 
 
+#: Models whose score has a kink reachable through a DIVISION pipeline.
+#: pRotatE's |sin(ph+pr-pt)| kinks where the phase sum is exactly 0 — and
+#: because init params lie on the f32 grid (kge.init_params draws f32,
+#: legs upcast), exact h+r==t collisions are common enough to hit every
+#: run (measured: batch 0 of the fb237-protate leg already contains one).
+#: torch-CPU evaluates x/scale with one correctly-rounded IEEE division
+#: per op; XLA:CPU's default backend pipeline strength-reduces the
+#: constant division into reciprocal-multiply + FMA contraction, which
+#: moves the phase by ~1 ulp — off the kink — so JAX takes the full
+#: sign(sin)=±1 subgradient where torch takes sign(0)=0, and Adam
+#: amplifies the one-element difference to ~1e-5 param drift within 10
+#: steps (r5 root-cause; the TransE analogue was the r4 abs-kink, pure
+#: adds, fixable in-model via scorers.abs_ref). --xla_backend_
+#: optimization_level=0 restores strict per-op rounding (verified:
+#: (q1 + b/s) - c/s == 0 matches numpy/torch bit-for-bit) at the cost of
+#: slower CPU codegen — correctness-harness-only, never a production
+#: setting. TransE (adds only) and RotatE (smooth L2 magnitude; a kink
+#: needs re==im==0 simultaneously) don't need it.
+KINK_DIVISION_MODELS = ("pRotatE",)
+
 if __name__ == "__main__":
+    _preset_arg = (sys.argv[sys.argv.index("--preset") + 1]
+                   if "--preset" in sys.argv else PRESET)
+    if ("f64" in sys.argv[1:]
+            and PRESETS.get(_preset_arg, {}).get("MODEL", MODEL)
+            in KINK_DIVISION_MODELS
+            and "--xla_backend_optimization_level"
+            not in os.environ.get("XLA_FLAGS", "")):
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_backend_optimization_level=0").strip()
+        os.execv(sys.executable, [sys.executable] + sys.argv)
     if "MALLOC_MMAP_THRESHOLD_" not in os.environ:
         # full-shape torch temporaries run 0.25-2.1 GB; glibc mmaps every
         # allocation that big, and the measured profile was 5:1 sys:user
