@@ -518,10 +518,18 @@ def leg_f64() -> dict:
     t0 = time.time()
     ds, filters, spec, batches, p0 = build_pipeline(B64, STEPS64)
     warm_up = STEPS64 // 2
-    # crash-resume ckpt: the torch-f64 leg is ~1h of single-core compute
+    # crash-resume ckpt: the torch-f64 leg is ~1h of single-core compute.
+    # p0 comes from the JAX PRNG, whose rounding CHANGES under
+    # --xla_backend_optimization_level=0 (the strict-rounding mode the
+    # KINK_DIVISION_MODELS legs run in) — so the cache key must carry the
+    # flag, or a strict-mode framework run compares against a torch
+    # trajectory trained from a different init (measured: 4.3e-4 phantom
+    # "drift" from exactly this in r5).
+    strict = ("--xla_backend_optimization_level=0"
+              in os.environ.get("XLA_FLAGS", ""))
     ckpt = os.path.join(
         REPO, f"tools/.fullshape_f64_{MODEL}_E{E}_B{B64}_n{N}_d{D}"
-              f"_s{STEPS64}_seed{SEED}")
+              f"_s{STEPS64}_seed{SEED}{'_opt0' if strict else ''}")
     ent, rel, t_windows, mod = run_torch(
         p0, batches, spec, dtype=torch.float64, steps=STEPS64,
         warm_up=warm_up, log=LOG64, ckpt_path=ckpt + ".train.ckpt")
