@@ -98,6 +98,41 @@ def test_run_torch_resume_stale_ckpt_without_modulus_errors(
                       warm_up=WARM, log=LOG, ckpt_path=ck, save_every=2)
 
 
+def test_opt0_restores_strict_division_rounding():
+    """The pRotatE f64 leg runs under --xla_backend_optimization_level=0
+    because XLA:CPU's default pipeline strength-reduces division-by-
+    constant into reciprocal-multiply + FMA contraction, which moves
+    |sin| kink phases off exactly-0 (r5 root cause: an exact f32-grid
+    a+b==c init collision gave torch phase 0/subgradient 0 but JAX
+    4.5e-17/subgradient 1 -> 2e-5 Adam-amplified drift). This pins that
+    the flag still buys strict per-op IEEE rounding — if a JAX upgrade
+    breaks it, the parity harness's premise fails loudly here first.
+    Subprocess: XLA_FLAGS must be set before backend init."""
+    import subprocess
+
+    code = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import numpy as np, jax.numpy as jnp
+scale = 0.0035014087480216972
+# the recorded r5 collision: a + b == c exactly in f64
+a, b, c = -0.010831356048583984, 0.0035430099815130234, -0.007288346067070961
+assert np.float64(a) + np.float64(b) == np.float64(c)
+f = jax.jit(lambda x, y, z: (x / scale + y / scale) - z / scale)
+got = float(f(jnp.float64(a), jnp.float64(b), jnp.float64(c)))
+want = float((np.float64(a) / scale + np.float64(b) / scale)
+             - np.float64(c) / scale)
+assert got == want == 0.0, (got, want)
+print("STRICT_OK")
+"""
+    env = dict(os.environ, XLA_FLAGS="--xla_backend_optimization_level=0",
+               JAX_PLATFORMS="cpu")
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=300)
+    assert "STRICT_OK" in out.stdout, (out.stdout, out.stderr[-2000:])
+
+
 def test_filtered_ranks_resume_bit_identical(tmp_path, monkeypatch):
     from knowledgegraphembedding_tpu.data.filterset import FilterSets
 
