@@ -546,6 +546,11 @@ def main(argv=None) -> dict:
                 negative_sharing=config.negative_sharing,
                 index_subset=index_subset,
                 shared_negative_seed=shared_negative_seed,
+                # single-device trainers take device arrays: uploading from
+                # the prefetch thread overlaps batch i+1's host->device
+                # transfer with step i's device compute (mesh trainers
+                # assemble global batches from host arrays — keep False)
+                device_put=(mesh is None),
             )
         from .utils.profiling import trace as profiler_trace
 

@@ -401,9 +401,10 @@ def _eval_scan_xla(params, offsets, counts, values, pos_stack, *,
                      "span", "two_halves", "Epad", "interpret"),
 )
 def _eval_scan_pallas(table_padded, rel, modulus, offsets, counts, values,
-                      pos_stack, *, spec: ModelSpec, mode: str, k_max: int,
-                      width: int, TE: int, half_pad: int, span: int,
-                      two_halves: bool, Epad: int, interpret: bool):
+                      pos_stack, tsin=None, tcos=None, *, spec: ModelSpec,
+                      mode: str, k_max: int, width: int, TE: int,
+                      half_pad: int, span: int, two_halves: bool, Epad: int,
+                      interpret: bool):
     from .ops import pallas_rank
 
     def body(_, pos):
@@ -412,9 +413,9 @@ def _eval_scan_pallas(table_padded, rel, modulus, offsets, counts, values,
             nentity=spec.nentity, nrelation=spec.nrelation, width=width,
         )
         return None, pallas_rank._ranks_jit(
-            table_padded, rel, modulus, pos, mask, spec=spec, mode=mode,
-            TE=TE, half_pad=half_pad, span=span, two_halves=two_halves,
-            Epad=Epad, interpret=interpret,
+            table_padded, rel, modulus, pos, mask, tsin, tcos, spec=spec,
+            mode=mode, TE=TE, half_pad=half_pad, span=span,
+            two_halves=two_halves, Epad=Epad, interpret=interpret,
         )
     return jax.lax.scan(body, None, pos_stack)[1]
 
@@ -562,7 +563,8 @@ def test_step(
                 if ranker is not None:
                     r = _eval_scan_pallas(
                         ranker.table, ranker.rel, ranker.modulus,
-                        offsets, counts, values, sub, spec=spec, mode=mode,
+                        offsets, counts, values, sub,
+                        ranker.tsin, ranker.tcos, spec=spec, mode=mode,
                         k_max=k_max, width=width, TE=ranker.TE,
                         half_pad=ranker.half_pad, span=ranker.span,
                         two_halves=ranker.two_halves, Epad=ranker.Epad,

@@ -92,7 +92,12 @@ def true_scores(left, true_rows, spec: ModelSpec, modulus):
         dre = left[:, :half] - true_rows[:, :half]
         dim = left[:, half:] - true_rows[:, half:]
         sq = dre * dre + dim * dim
-        mag = jnp.where(sq > 0, jnp.sqrt(jnp.maximum(sq, 1e-30)), 0.0)
+        # no zero-guard: eval computes no gradient, sqrt(0) == 0 exactly
+        # (pad columns), and the reference's own eval norm is unguarded —
+        # the guarded form lives in models/scorers.py for the train path
+        # where d(sqrt)/dx at 0 matters. Dropping cmp+max+select removes
+        # 3 of 9 VPU ops/element from the rank kernel (r5).
+        mag = jnp.sqrt(sq)
         return gamma - jnp.sum(mag, axis=-1, dtype=jnp.float32)
     if name == "TransE":
         return gamma - jnp.sum(jnp.abs(left - true_rows), axis=-1,
@@ -182,22 +187,17 @@ def _rank_kernel(
             dre = lre - cre
             dim = lim - cim
             sq = dre * dre + dim * dim
-            # exact 0 for zero pads; subgradient-0 convention at 0
-            mag = jnp.where(sq > 0, jnp.sqrt(jnp.maximum(sq, 1e-30)), 0.0)
+            # unguarded: sqrt(0) == 0 exactly for pad columns and no
+            # gradient flows here (see true_scores) — 6 ALU + 1 sqrt per
+            # element instead of 9 + 1
+            mag = jnp.sqrt(sq)
             acc = jnp.sum(mag, axis=1, keepdims=True, dtype=jnp.float32)
             score = gamma - acc
-        elif family == "TransE":
+        else:  # TransE
             l = left_ref[pl.ds(b, 1), :]
             score = gamma - jnp.sum(
                 jnp.abs(l - c), axis=1, keepdims=True, dtype=jnp.float32
             )
-        else:  # pRotatE: candidates enter as phases C/scale
-            l = left_ref[pl.ds(b, 1), :]
-            acc = jnp.sum(
-                jnp.abs(jnp.sin(l - c * inv_scale)), axis=1, keepdims=True,
-                dtype=jnp.float32,
-            )
-            score = gamma - acc * mod_ref[0, 0]
 
         # the true entity can never beat itself: exclude by id so
         # accumulation-order float noise between its in-kernel score and
@@ -210,6 +210,116 @@ def _rank_kernel(
             & (ids != tid_ref[0, b])
         )
         out_ref[0, b] += jnp.sum(beats.astype(jnp.int32))
+
+
+def _rank_kernel_protate(
+    true_ref,  # SMEM [1, B] f32 — true-triple scores
+    tid_ref,  # SMEM [1, B] i32 — true entity ids (excluded from the count)
+    mod_ref,  # SMEM [1, 1] f32 — the trainable modulus
+    lsin_ref,  # VMEM [B, dpad] f32 — sin of the left phases (resident)
+    lcos_ref,  # VMEM [B, dpad] f32 — cos of the left phases (resident)
+    tsin_ref,  # VMEM [TE, dpad] f32 — streamed sin(candidate phase) tile
+    tcos_ref,  # VMEM [TE, dpad] f32 — streamed cos(candidate phase) tile
+    mask_ref,  # VMEM [TE, B] i32 — streamed filter-mask tile (transposed)
+    out_ref,  # SMEM [1, B] i32 — revisited per-row accumulator
+    *,
+    gamma: float,
+    E: int,
+    TE: int,
+    B: int,
+):
+    """pRotatE rank pass with FACTORIZED trig: |sin(l - p)| =
+    |sin l * cos p - cos l * sin p|, with sin/cos of every candidate phase
+    precomputed ONCE per evaluation (PallasRanker) and streamed as two
+    tiles. The direct form evaluates one sin per (row, candidate, dim)
+    element — at ~60 VPU-cycle-equivalents per sin (measured,
+    tools/vpu_roofline.py) that is a 64 ms/batch16 roofline at YAGO shape,
+    ~16x the RotatE kernel. Factored, the per-element mix is 5 one-cycle
+    VPU ops (2 mul, sub, abs, reduce-add) and the sin cost collapses to a
+    2*E*d one-time table build (~1/40 of one full-split eval's direct-sin
+    count). Identity is exact in real arithmetic; f32 scores differ from
+    the direct form by ~1 ulp, inside the eval's existing cross-backend
+    tolerance (torch evaluates sin differently than XLA anyway)."""
+    step = pl.program_id(0)
+    ids = step * TE + jax.lax.broadcasted_iota(jnp.int32, (TE, 1), 0)
+    tsin = tsin_ref[:]
+    tcos = tcos_ref[:]
+
+    for b in range(B):
+        @pl.when(step == 0)
+        def _():
+            out_ref[0, b] = 0
+
+        lsin = lsin_ref[pl.ds(b, 1), :]
+        lcos = lcos_ref[pl.ds(b, 1), :]
+        acc = jnp.sum(
+            jnp.abs(lsin * tcos - lcos * tsin), axis=1, keepdims=True,
+            dtype=jnp.float32,
+        )
+        score = gamma - acc * mod_ref[0, 0]
+        beats = (
+            (score > true_ref[0, b])
+            & (ids < E)
+            & (mask_ref[:, pl.ds(b, 1)] == 0)
+            & (ids != tid_ref[0, b])
+        )
+        out_ref[0, b] += jnp.sum(beats.astype(jnp.int32))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("gamma", "E", "TE", "interpret")
+)
+def rank_counts_protate(
+    lsin: jnp.ndarray,  # f32[B, dpad]
+    lcos: jnp.ndarray,  # f32[B, dpad]
+    true_score: jnp.ndarray,  # f32[B]
+    true_ids: jnp.ndarray,  # i32[B]
+    modulus: jnp.ndarray,  # f32[] scalar
+    tsin: jnp.ndarray,  # f32[Epad, dpad]
+    tcos: jnp.ndarray,  # f32[Epad, dpad]
+    mask_t: jnp.ndarray,  # bool/int32[Epad, B]
+    *,
+    gamma: float,
+    E: int,
+    TE: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    B, dpad = lsin.shape
+    Epad = tsin.shape[0]
+    assert Epad % TE == 0, (Epad, TE)
+    grid = (Epad // TE,)
+    kern = functools.partial(
+        _rank_kernel_protate, gamma=gamma, E=E, TE=TE, B=B)
+    counts = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, dpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, dpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TE, dpad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TE, dpad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TE, B), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, B), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, B), jnp.int32),
+        interpret=interpret,
+    )(
+        true_score[None, :],
+        true_ids[None, :],
+        jnp.reshape(modulus.astype(jnp.float32), (1, 1)),
+        lsin,
+        lcos,
+        tsin,
+        tcos,
+        mask_t.astype(jnp.int32),
+    )
+    return counts[0]
 
 
 @functools.partial(
@@ -279,6 +389,17 @@ def _prep_table(table, *, span: int, half_pad: int, two_halves: bool,
     return t
 
 
+@functools.partial(jax.jit, static_argnames=("inv_scale",))
+def _prep_sincos(table_padded, *, inv_scale: float):
+    """One-time sin/cos of every candidate phase for the factorized
+    pRotatE kernel. 2*Epad*dpad sin/cos evals per evaluation — ~1/40 of
+    the per-(row,candidate,dim) sins the direct form pays across a full
+    split. Pad columns hold 0 -> (sin 0, cos 1), which the factored
+    identity maps to a 0 contribution against the zero-padded left rows."""
+    ph = table_padded * inv_scale
+    return jnp.sin(ph), jnp.cos(ph)
+
+
 class PallasRanker:
     """Prepares the lane-padded table once, then ranks eval batches through
     the fused kernel. Construct per evaluation (the table changes between
@@ -310,12 +431,18 @@ class PallasRanker:
         self.rel = params["relation_embedding"]
         self.Epad = Epad
         self.modulus = jnp.asarray(params.get("modulus", jnp.float32(1.0)))
+        if spec.model_name == "pRotatE":
+            self.tsin, self.tcos = _prep_sincos(
+                self.table, inv_scale=PI / spec.embedding_range)
+        else:
+            self.tsin = self.tcos = None
 
     def ranks(self, pos: jnp.ndarray, filter_mask: jnp.ndarray, mode: str):
         # the whole pre/post-processing chain is one jitted program — on a
         # remote-dispatch runtime every eager op costs a round trip
         return _ranks_jit(
             self.table, self.rel, self.modulus, pos, filter_mask,
+            self.tsin, self.tcos,
             spec=self.spec, mode=mode, TE=self.TE, half_pad=self.half_pad,
             span=self.span, two_halves=self.two_halves, Epad=self.Epad,
             interpret=self.interpret,
@@ -327,18 +454,16 @@ class PallasRanker:
     static_argnames=("spec", "mode", "TE", "half_pad", "span", "two_halves",
                      "Epad", "interpret"),
 )
-def _ranks_jit(table_padded, rel_table, modulus, pos, filter_mask, *,
+def _ranks_jit(table_padded, rel_table, modulus, pos, filter_mask,
+               tsin=None, tcos=None, *,
                spec: ModelSpec, mode: str, TE: int, half_pad: int, span: int,
                two_halves: bool, Epad: int, interpret: bool):
     fixed_ids = pos[:, 0] if mode == scorers.TAIL_BATCH else pos[:, 2]
     true_ids = pos[:, 0] if mode == scorers.HEAD_BATCH else pos[:, 2]
     fixed = _unpad_cols(jnp.take(table_padded, fixed_ids, axis=0),
                         span, half_pad, two_halves)
-    true_rows = _unpad_cols(jnp.take(table_padded, true_ids, axis=0),
-                            span, half_pad, two_halves)
     r = jnp.take(rel_table, pos[:, 1], axis=0)
     left = left_from_rows(fixed, r, spec, mode)
-    true_score = true_scores(left, true_rows, spec, modulus)
     left_p = _pad_cols(left, span, half_pad, two_halves)
     if filter_mask.shape[1] < Epad:
         filter_mask = jnp.pad(
@@ -346,6 +471,26 @@ def _ranks_jit(table_padded, rel_table, modulus, pos, filter_mask, *,
         )
     else:
         filter_mask = filter_mask[:, :Epad]
+    if spec.model_name == "pRotatE":
+        # factorized trig (see _rank_kernel_protate): the true score uses
+        # the SAME factored form so candidate-vs-true comparisons are
+        # computed with one consistent rounding
+        lsin = jnp.sin(left_p)
+        lcos = jnp.cos(left_p)
+        tsin_rows = jnp.take(tsin, true_ids, axis=0)
+        tcos_rows = jnp.take(tcos, true_ids, axis=0)
+        true_score = spec.gamma - modulus * jnp.sum(
+            jnp.abs(lsin * tcos_rows - lcos * tsin_rows), axis=-1,
+            dtype=jnp.float32)
+        counts = rank_counts_protate(
+            lsin, lcos, true_score, true_ids.astype(jnp.int32), modulus,
+            tsin, tcos, filter_mask.T,
+            gamma=spec.gamma, E=spec.nentity, TE=TE, interpret=interpret,
+        )
+        return counts + 1
+    true_rows = _unpad_cols(jnp.take(table_padded, true_ids, axis=0),
+                            span, half_pad, two_halves)
+    true_score = true_scores(left, true_rows, spec, modulus)
     counts = rank_counts(
         left_p, true_score, true_ids.astype(jnp.int32), modulus,
         table_padded, filter_mask.T,

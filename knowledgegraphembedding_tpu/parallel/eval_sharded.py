@@ -66,7 +66,9 @@ def _local_scores(table_local, left, spec: ModelSpec, modulus):
         dre = left[:, None, :half] - table_local[None, :, :half]
         dim = left[:, None, half:] - table_local[None, :, half:]
         sq = dre * dre + dim * dim
-        mag = jnp.where(sq > 0, jnp.sqrt(jnp.maximum(sq, 1e-30)), 0.0)
+        # unguarded like pallas_rank.true_scores: eval-only (no gradient),
+        # sqrt(0) == 0 exactly, matches the reference's unguarded norm
+        mag = jnp.sqrt(sq)
         return spec.gamma - jnp.sum(mag, axis=-1, dtype=jnp.float32)
     if name == "TransE":
         return spec.gamma - jnp.sum(

@@ -98,3 +98,26 @@ def test_prefetch_iterator_matches_and_closes():
     assert batches[0][3] == "tail-batch"
     assert all(b[0].shape == (16, 3) for b in batches)
     it.close()
+
+
+def test_prefetch_device_put_matches_host_stream():
+    """to_device=True (r5: overlaps batch i+1's host->device upload with
+    step i's compute) must deliver the SAME batch stream as the host-array
+    default — device arrays, identical values, mode strings untouched."""
+    import jax
+
+    ds, filters = make_env(seed=7)
+    host = build_train_iterator(
+        ds.train, ds.nentity, ds.nrelation, 16, 8, filters, prefetch_depth=0)
+    dev = build_train_iterator(
+        ds.train, ds.nentity, ds.nrelation, 16, 8, filters,
+        prefetch_depth=3, device_put=True)
+    for _ in range(6):
+        hp, hn, hw, hm = next(host)
+        dp, dn, dw, dm = next(dev)
+        assert hm == dm
+        assert isinstance(dp, jax.Array) and isinstance(dw, jax.Array)
+        np.testing.assert_array_equal(np.asarray(dp), hp)
+        np.testing.assert_array_equal(np.asarray(dn), hn)
+        np.testing.assert_array_equal(np.asarray(dw), hw)
+    dev.close()

@@ -1,31 +1,11 @@
-"""Independent VPU-op roofline for the distance-family eval kernel.
+"""CLI wrapper for the measured VPU-op roofline (VERDICT r4 weak #3).
 
-VERDICT r4 weak #3: the RotatE eval matrix row reported "~1.0 vs the
-measured Pallas kernel" — circular, because the kernel's own measured rate
-was the denominator. This tool builds the NON-CIRCULAR floor the row needs:
+All logic lives in knowledgegraphembedding_tpu/utils/vpu_probe.py (bench.py
+uses the same module for its eval-row floors — one implementation, no
+drift). This wrapper just runs the probes on the default platform and
+prints the per-op rates plus the YAGO-shape rooflines as one JSON line.
 
-  1. measure per-op peak VPU rates (f32 ALU op, sqrt, rsqrt, sin) with
-     CHAIN-LENGTH DIFFERENCING: time a fori_loop whose body applies a
-     K-link elementwise chain, at K and 2K — the difference isolates pure
-     op issue time with HBM stream + loop + dispatch costs subtracted
-     exactly (same cancellation idea as bench._time_loop's two-point
-     fence, applied to the op axis instead of the rep axis);
-  2. count the rank kernel's exact per-element op mix per model
-     (ops/pallas_rank.py §_rank_kernel) and combine:
-         t_roofline = alu_ops/alu_rate + special_ops/special_rate
-     (additive because the special-function ops issue through the same
-     VPU pipeline, not a parallel unit — confirmed by the sqrt-chain
-     probe measuring strictly lower throughput than the ALU chain);
-  3. print the roofline ms/batch per model at the YAGO eval shape next
-     to the kernel's directly measured ms/batch -> fraction_of_vpu_roofline.
-
-The r4 first-cut failure this design avoids: a hand-waved "7 ops/dim"
-estimate against a bandwidth-contaminated rate probe produced a floor 3x
-off (bench.py §_eval_floor_evals_per_s docstring). Here the op counts are
-read off the kernel source op-by-op and the rates are differenced, so
-neither factor carries hidden bandwidth.
-
-Usage:  python tools/vpu_roofline.py            # probes + roofline JSON
+Usage:  python tools/vpu_roofline.py
 """
 
 from __future__ import annotations
@@ -34,145 +14,33 @@ import json
 import os
 import sys
 
-import numpy as np
-
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 import jax
-import jax.numpy as jnp
 
-from knowledgegraphembedding_tpu.utils import compile_cache
+from knowledgegraphembedding_tpu.utils import compile_cache, vpu_probe
 
 compile_cache.enable()
 
 
-def _timed_chain(link, K, shape=(4096, 1024), reps=30):
-    """Seconds per ITERATION of a K-link chain body inside one fori_loop
-    dispatch (bench._time_loop's two-point rep fence included)."""
-    z0 = jax.jit(
-        lambda k: jnp.abs(jax.random.normal(k, shape, jnp.float32)) + 0.1
-    )(jax.random.PRNGKey(0))
-
-    def body(i, z):
-        for j in range(K):
-            z = link(z, j)
-        return z
-
-    probe = jax.jit(lambda x: jnp.sum(jnp.ravel(x)[:1]))
-
-    import time
-
-    def timed(r):
-        run = jax.jit(lambda x: jax.lax.fori_loop(0, r, body, x))
-        out = run(z0)
-        float(probe(out))
-        t0 = time.perf_counter()
-        out = run(z0)
-        float(probe(out))
-        return time.perf_counter() - t0
-
-    t1, t2 = timed(reps), timed(2 * reps)
-    return max(t2 - t1, 0.25 * t1) / reps, z0.size
-
-
-def _op_rate(link, ops_per_link, K=32, **kw):
-    """Ops/s for one chain link via chain-length differencing: the K- and
-    2K-link bodies stream identical bytes, so dt isolates K extra links.
-
-    K must be large enough that the marginal time (K extra links) is
-    hundreds of us — the first cut used K=32 for the cheap ALU links,
-    whose ~10 us marginal drowned in tunnel-dispatch noise and "measured"
-    a physically impossible 41 Tops/s. Callers pick K so that
-    K*ops*n/(assumed ~4 Tops/s) >> dispatch jitter."""
-    tK, n = _timed_chain(link, K, **kw)
-    t2K, _ = _timed_chain(link, 2 * K, **kw)
-    dt = t2K - tK
-    return (K * ops_per_link * n) / dt, {"t_K_us": round(tK * 1e6, 1),
-                                         "t_2K_us": round(t2K * 1e6, 1)}
-
-
-def measure_rates():
-    """Peak f32 rates (ops/s). Links are non-foldable (data-dependent
-    through the carry, alternating constants block algebraic collapse)."""
-    rates = {}
-    # plain ALU mix: |z - c| + d = sub, abs, add (3 ops) — the kernel's
-    # dominant mix (sub/mul/add are all single-issue VPU ops)
-    r, dbg = _op_rate(lambda z, j: jnp.abs(z - (0.25 + 0.01 * (j % 3))) + 0.1,
-                      3, K=256)
-    rates["alu"] = (r, dbg)
-    # fma-shaped: z*c + d (2 ops counted; issues as one fused multiply-add
-    # if the VPU supports it — the gap vs `alu` reveals fma fusion)
-    r, dbg = _op_rate(lambda z, j: z * 0.99 + (0.01 + 0.001 * (j % 3)), 2,
-                      K=256)
-    rates["mul_add"] = (r, dbg)
-    # the rank kernel's guard mix: cmp + max + select around the sqrt
-    r, dbg = _op_rate(
-        lambda z, j: jnp.where(z > 0.01 * (j % 3),
-                               jnp.maximum(z, 1e-30) * 0.999, 0.123), 4,
-        K=128)
-    rates["guard_mix"] = (r, dbg)
-    # sqrt chain: sqrt(z + c) = add + sqrt; subtract the add at alu rate
-    r, dbg = _op_rate(lambda z, j: jnp.sqrt(z + 0.3 + 0.01 * (j % 3)), 2,
-                      K=128)
-    rates["sqrt_chain"] = (r, dbg)
-    # rsqrt chain (candidate replacement: mag = sq * rsqrt(sq))
-    r, dbg = _op_rate(lambda z, j: jax.lax.rsqrt(z + 0.3 + 0.01 * (j % 3)), 2,
-                      K=128)
-    rates["rsqrt_chain"] = (r, dbg)
-    # sin chain (pRotatE): sin keeps the carry in [-1,1]; offset keeps it
-    # moving
-    r, dbg = _op_rate(lambda z, j: jnp.sin(z + 0.7 + 0.01 * (j % 3)), 2)
-    rates["sin_chain"] = (r, dbg)
-    return rates
-
-
-#: exact per-(padded half-dim) element op mix of _rank_kernel per model,
-#: read off ops/pallas_rank.py §_rank_kernel line by line.
-#:   RotatE  : dre=sub, dim=sub, dre*dre=mul, dim*dim=mul+add -> sq (5)
-#:             guard: cmp + max + select (3)   [dropped in the lean form]
-#:             sqrt (1 special), reduce add (1)
-#:   TransE  : sub, abs, reduce add (3)  [per element, d single width]
-#:   pRotatE : mul (c*inv_scale), sub, sin (special), abs, reduce add (4+sin)
-KERNEL_MIX = {
-    "RotatE": {"alu": 9, "special": ("sqrt", 1)},
-    "RotatE_lean": {"alu": 6, "special": ("sqrt", 1)},
-    "TransE": {"alu": 3, "special": None},
-    "pRotatE": {"alu": 4, "special": ("sin", 1)},
-}
-
-
-def roofline_ms(model, B, E, dpad_elems, rates):
-    """Roofline ms/batch for one eval batch: B rows x Epad candidates x
-    dpad elements (RotatE: dpad_elems = padded HALF width — one complex
-    element per lane)."""
-    mix = KERNEL_MIX[model]
-    n_elem = B * E * dpad_elems
-    alu_rate = rates["alu"][0]
-    t = mix["alu"] * n_elem / alu_rate
-    if mix["special"]:
-        name, cnt = mix["special"]
-        chain = rates[f"{name}_chain"][0]  # counted 2 ops/link (add+special)
-        # special-op time per element = chain link time minus the add
-        t_special = (2.0 / chain) - (1.0 / alu_rate)
-        t += cnt * n_elem * max(t_special, 0.0)
-    return t * 1e3
-
-
 def main():
-    out = {"platform": jax.default_backend(),
-           "device": str(jax.devices()[0])}
-    rates = measure_rates()
-    out["rates_gops"] = {k: round(v[0] / 1e9, 1) for k, v in rates.items()}
-    out["probe_times"] = {k: v[1] for k, v in rates.items()}
-    # YAGO-3-10 eval shape (bench.py eval_rows): E=123,182 -> Epad=123,392,
-    # d=500 -de -> padded half 512; B=16
-    B, Epad = 16, 123392
-    shapes = {"RotatE": 512, "RotatE_lean": 512, "TransE": 512,
-              "pRotatE": 512}
+    rates = vpu_probe.measure_rates()
+    out = {
+        "platform": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "rates_gops": {k: round(v[0] / 1e9, 1) for k, v in rates.items()},
+        "probe_times": {k: v[1] for k, v in rates.items()},
+    }
+    # YAGO3-10 eval shape (bench.py eval_rows): E=123,182 -> Epad=123,392;
+    # d=500 -de -> padded half 512 (RotatE) / padded 512 single (others);
+    # B=16 rows per kernel batch
+    B, Epad, elems = 16, 123392, 512
     out["roofline_ms_per_batch16_yago"] = {
-        m: round(roofline_ms(m, B, Epad, d, rates), 3)
-        for m, d in shapes.items()}
+        m: round(1e3 * vpu_probe.roofline_seconds_per_batch(
+            m, B, Epad, elems, rates), 3)
+        for m in vpu_probe.KERNEL_MIX
+    }
     print(json.dumps(out))
 
 
