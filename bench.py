@@ -436,42 +436,38 @@ DECOMPOSE_CASES = [
 ]
 
 
-def _eval_floor_evals_per_s(spec, table, B, rates=None):
+def _eval_floor_evals_per_s(spec, table, B, rates=None, bw=None):
     """Floor (evals/s) for one distance-family eval batch =
     max(table-stream bound, computed VPU-op roofline) — NON-CIRCULAR
     (VERDICT r4 weak #3):
 
-      - table stream: one sequential read of the padded table (candidate
-        tiles stream HBM->VMEM once, shared across the batch rows) — any
-        evaluator must touch every candidate row. The factorized pRotatE
-        kernel streams TWO tables (sin and cos of the phases), so its
-        stream bound doubles;
+      - table stream: the bytes any evaluator must touch (every candidate
+        row once per batch — the factorized pRotatE kernel streams TWO
+        tables, sin and cos of the phases — plus the [Epad, B] filter-mask
+        tiles) over the independently measured PEAK sequential HBM read
+        bandwidth. NOT a one-shot stream timing of this table: that varied
+        167-543 GB/s across models in one eval_rows pass (tunnel mood) and
+        made one 'floor' sit 29% UNDER the measured kernel;
       - VPU roofline: exact per-element op count of the rank kernel
         (utils/vpu_probe.KERNEL_MIX, read off the kernel source) divided
-        by independently measured per-op peak rates (chain-length-
-        differenced probes — HBM/dispatch costs cancel exactly).
+        by independently measured per-op peak rates (K-sweep slope-fit
+        chain probes — HBM/dispatch costs cancel exactly).
 
     The r4 first cut folded a hand-waved 7-ops/dim estimate against a
     bandwidth-contaminated rate probe and produced a 'floor' 3x above the
     real kernel (fraction 2.95); the probe module's docstring records how
-    both failure modes are now excluded. Bilinear models floor on the
+    each failure mode is now excluded. Bilinear models floor on the
     HIGHEST-precision MXU matmul instead (measured by the caller)."""
     from knowledgegraphembedding_tpu.utils import vpu_probe
 
-    # the table rides the CARRY, never a closure: a closed-over device
-    # array is traced as a CONSTANT and serialized into the remote-compile
-    # request (measured: a 492 MB table -> HTTP 413 on the tunnel's
-    # compile endpoint)
-    def stream_body(i, st):
-        acc, tab = st
-        return (acc + jnp.sum(tab * (1 + acc * 1e-30)), tab)
-
-    t_stream = _time_loop(stream_body, (jnp.float32(0), table), reps=10)
-    if spec.model_name == "pRotatE":
-        t_stream *= 2  # sin + cos tables both stream per batch
+    if bw is None:
+        bw = vpu_probe.hbm_bandwidth()
     if rates is None:
         rates = vpu_probe.measure_rates(fast=True)
     Epad, dpad = table.shape
+    n_tables = 2 if spec.model_name == "pRotatE" else 1
+    stream_bytes = n_tables * Epad * dpad * 4 + Epad * B * 4
+    t_stream = stream_bytes / bw[0]
     elems = dpad // 2 if spec.double_entity_embedding else dpad
     t_vpu = vpu_probe.roofline_seconds_per_batch(
         spec.model_name, B, Epad, elems, rates)
@@ -479,6 +475,7 @@ def _eval_floor_evals_per_s(spec, table, B, rates=None):
     return B / t_bound, {
         "table_stream_ms": round(t_stream * 1e3, 2),
         "vpu_roofline_ms": round(t_vpu * 1e3, 2),
+        "hbm_gbps": round(bw[0] / 1e9, 1),
         "rates_gops": {k: round(v[0] / 1e9, 1) for k, v in rates.items()},
     }
 
@@ -510,10 +507,17 @@ def _eval_resident_rate(params, spec, filters, test_triples, mode):
               if use_pallas else None)
 
     # every array operand rides the carry (closure constants are
-    # serialized into the remote compile request — HTTP 413 at 505 MB)
+    # serialized into the remote compile request — HTTP 413 at 505 MB).
+    # Cross-iteration dependence rides the SMALL relation table as a
+    # float perturbation (1 + acc*1e-30): bit-identical in f32 (acc*1e-30
+    # underflows against 1) yet unfoldable, so the scan re-executes every
+    # iteration. The first cut perturbed the int triple stack with
+    # `acc & 0` — XLA folds and(x, 0) to 0, hoisted the loop-invariant
+    # scan, and "measured" 142k evals/s, 31x above the floor.
     def body(i, st):
         if use_pallas:
-            (tab, rel, modulus, tsin, tcos, off, cnt, val, stack, acc) = st
+            (acc, tab, rel, modulus, tsin, tcos, off, cnt, val, stack) = st
+            rel = rel * (1 + acc.astype(rel.dtype) * 1e-30)
             r = eval_mod._eval_scan_pallas(
                 tab, rel, modulus, off, cnt, val, stack, tsin, tcos,
                 spec=spec, mode=mode, k_max=k_max, width=width,
@@ -521,24 +525,24 @@ def _eval_resident_rate(params, spec, filters, test_triples, mode):
                 two_halves=ranker.two_halves, Epad=ranker.Epad,
                 interpret=False)
             acc = acc + jnp.sum(r)
-            # data-dependence: the next iteration's inputs depend on this
-            # one's ranks (a zero-valued perturbation XLA cannot elide)
-            stack = stack + (acc & 0)
-            return (tab, rel, modulus, tsin, tcos, off, cnt, val, stack, acc)
-        p, off, cnt, val, stack, acc = st
+            return (acc, tab, rel, modulus, tsin, tcos, off, cnt, val,
+                    stack)
+        acc, p, off, cnt, val, stack = st
+        rel = p["relation_embedding"]
+        p = dict(p, relation_embedding=rel * (1 + acc.astype(rel.dtype)
+                                              * 1e-30))
         r = eval_mod._eval_scan_xla(
             p, off, cnt, val, stack, spec=spec, mode=mode, chunk=chunk,
             k_max=k_max, width=width)
         acc = acc + jnp.sum(r)
-        stack = stack + (acc & 0)
-        return (p, off, cnt, val, stack, acc)
+        return (acc, p, off, cnt, val, stack)
 
     if use_pallas:
-        init = (ranker.table, ranker.rel, ranker.modulus, ranker.tsin,
-                ranker.tcos, offsets, counts, values, trip_stack,
-                jnp.int32(0))
+        init = (jnp.int32(0), ranker.table, ranker.rel, ranker.modulus,
+                ranker.tsin, ranker.tcos, offsets, counts, values,
+                trip_stack)
     else:
-        init = (params, offsets, counts, values, trip_stack, jnp.int32(0))
+        init = (jnp.int32(0), params, offsets, counts, values, trip_stack)
     t = _time_loop(body, init, reps=10)
     return n_evals / t, {"resident_scan_ms": round(t * 1e3, 2),
                          "evals_per_scan": n_evals}
@@ -625,7 +629,7 @@ def eval_rows():
                         n_valid=500, n_test=4096, seed=0)
     filters = FilterSets.build(ds.train, ds.all_true_triples, ds.nentity,
                                ds.nrelation)
-    vpu_rates = None
+    vpu_rates = hbm = None
     for model in ("RotatE", "TransE", "pRotatE", "DistMult"):
         spec = ModelSpec(
             model_name=model, nentity=ds.nentity, nrelation=ds.nrelation,
@@ -656,9 +660,10 @@ def eval_rows():
 
             if vpu_rates is None:
                 vpu_rates = vpu_probe.measure_rates(fast=True)
+                hbm = vpu_probe.hbm_bandwidth()
             ranker = eval_mod.get_pallas_ranker(params, spec)
             floor, parts = _eval_floor_evals_per_s(
-                spec, ranker.table, 16, rates=vpu_rates)
+                spec, ranker.table, 16, rates=vpu_rates, bw=hbm)
         else:
             tab = params["entity_embedding"]
             phi = jax.jit(lambda k: jax.random.normal(

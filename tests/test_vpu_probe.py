@@ -5,9 +5,9 @@ from knowledgegraphembedding_tpu.ops import pallas_rank
 from knowledgegraphembedding_tpu.utils import vpu_probe
 
 FAKE_RATES = {
-    "alu": (600e9, {}),
-    "sqrt_chain": (800e9, {}),
-    "sin_chain": (30e9, {}),
+    "alu": (2800e9, {}),
+    "sqrt_chain": (1900e9, {}),
+    "sin_chain": (440e9, {}),
 }
 
 
@@ -25,10 +25,19 @@ def test_roofline_positive_and_scales_linearly():
 
 
 def test_special_op_costs_extra():
-    """RotatE (6 alu + sqrt) must floor above a hypothetical 6-alu-only
-    mix; the sqrt surcharge is the chain rate minus one alu issue."""
+    """RotatE (5 fused slots + sqrt) must floor above a hypothetical
+    alu-only mix; the sqrt surcharge is the chain rate minus one alu
+    issue."""
     t_rotate = vpu_probe.roofline_seconds_per_batch(
         "RotatE", 16, 4096, 512, FAKE_RATES)
     n = 16 * 4096 * 512
-    t_alu_only = 6 * n / FAKE_RATES["alu"][0]
+    t_alu_only = 5 * n / FAKE_RATES["alu"][0]
     assert t_rotate > t_alu_only
+
+
+def test_with_w_adapts_two_arg_links():
+    f2 = lambda z, j: z + j
+    f3 = vpu_probe._with_w(f2)
+    assert f3(1.0, 99.0, 2) == 3.0
+    g3 = lambda z, w, j: z + w + j
+    assert vpu_probe._with_w(g3) is g3

@@ -25,10 +25,13 @@ compile_cache.enable()
 
 
 def main():
-    rates = vpu_probe.measure_rates()
+    rates = vpu_probe.measure_rates(fast=True)
+    bw = vpu_probe.hbm_bandwidth()
     out = {
         "platform": jax.default_backend(),
         "device": str(jax.devices()[0]),
+        "hbm_gbps": round(bw[0] / 1e9, 1),
+        "hbm_parts": bw[1],
         "rates_gops": {k: round(v[0] / 1e9, 1) for k, v in rates.items()},
         "probe_times": {k: v[1] for k, v in rates.items()},
     }
