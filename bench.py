@@ -275,13 +275,14 @@ def _measure_train(model="RotatE", scoring="auto", precision="f32",
 
 def _measure_fused(model="RotatE", scoring="auto", precision="f32",
                    negative_sharing="none", B=1024, n=256, d=1000,
-                   k=16, n_steps=64):
+                   k=16, n_steps=64,
+                   nentity=14541, nrelation=237, ntriples=272115):
     """Fused k-step-block throughput (--steps_per_dispatch k)."""
     from knowledgegraphembedding_tpu.config import ModelSpec, TrainSpec
     from knowledgegraphembedding_tpu.fused_train import FusedDeviceTrainer
     from knowledgegraphembedding_tpu.models import kge
 
-    ds, _ = _dataset(14541, 237, 272115)
+    ds, _ = _dataset(nentity, nrelation, ntriples)
     spec = ModelSpec(
         model_name=model, nentity=ds.nentity, nrelation=ds.nrelation,
         hidden_dim=d, gamma=9.0,
