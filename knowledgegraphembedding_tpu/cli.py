@@ -451,8 +451,28 @@ def main(argv=None) -> dict:
             from .data.filterset import MAX_DENSE_KEYS
             from .train import use_dense_scoring
 
+            # Transfer-volume guard (r5): the axon tunnel client leaks
+            # every transferred host staging buffer — device_put and
+            # jit-argument paths, any thread, Array.delete()/gc all
+            # equivalent (measured ~2 MB/step -> 130 GB anon-RSS at step
+            # 63k of the wn18rr capstone -> kernel OOM kill). When the
+            # planned run would stream a large fraction of host RAM as
+            # batches, the 4 KB/step device sampler is the robust choice
+            # regardless of per-batch latency.
+            batch_bytes = 4.0 * config.batch_size * (
+                config.negative_sample_size + 5)
+            est_stream = (config.max_steps - step) * batch_bytes
+            ram = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+            tunnel = bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
             if ds.nentity * ds.nrelation <= MAX_DENSE_KEYS:
-                if (use_dense_scoring(spec, tspec)
+                if tunnel and est_stream > 0.4 * ram:
+                    sampler_backend = "device"
+                    logging.info(
+                        "sampler backend: device (auto — planned host "
+                        "batch stream %.0f GB exceeds 40%% of host RAM "
+                        "%.0f GB; the tunnel client leaks transferred "
+                        "staging buffers)", est_stream / 1e9, ram / 1e9)
+                elif (use_dense_scoring(spec, tspec)
                         or config.negative_sharing == "batch"):
                     sampler_backend = "device"
                     logging.info("sampler backend: device (auto)")
@@ -491,6 +511,15 @@ def main(argv=None) -> dict:
                             "sampler backend: host (auto — %.1f ms/batch "
                             "under the 25 ms gather-step floor)", host_ms,
                         )
+            elif tunnel and est_stream > 0.4 * ram:
+                logging.warning(
+                    "planned host batch stream %.0f GB exceeds 40%% of "
+                    "host RAM %.0f GB and the tunnel client leaks "
+                    "transferred staging buffers, but the device sampler "
+                    "is unavailable at this E*R; consider "
+                    "--steps_per_dispatch > 1 (device-side sampling) or "
+                    "splitting the run across resumes",
+                    est_stream / 1e9, ram / 1e9)
         # multihost: each host's epoch permutation covers ITS edge-
         # partitioned shard of the train rows, at the local batch size;
         # filter sets and subsampling weights stay computed over the FULL
