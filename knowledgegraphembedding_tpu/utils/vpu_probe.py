@@ -12,13 +12,14 @@ Method — chain-length SWEEP: time one jitted fori_loop whose body applies
 a K-link elementwise chain, at four chain lengths. Every program streams
 identical bytes per iteration, so adjacent-pair slopes isolate pure op
 issue time with HBM stream, loop, and dispatch costs subtracted exactly;
-the per-link estimate is the mean of the two smallest positive slopes.
+the per-link estimate is the median of slopes pooled over repeats.
 Pitfalls this design dodges (all measured, r4/r5):
   - a bandwidth-contaminated rate probe (3 ops/elem on a 16 MB carry is
     ~75% HBM time) undershoots peak ~4x;
   - too-small K puts the marginal time at ~10 us, under the tunnel's
     dispatch jitter — the first r5 cut "measured" 41 Tops/s f32, which is
-    physically impossible (8x128 VPU x ~1 GHz x 4 ports ~ 4 Tops/s);
+    physically impossible (8x128 VPU x 4 ALUs x ~1.5 GHz ~ 6 Tops/s —
+    clock inferred from the published v5e bf16 matmul peak);
   - a TWO-point difference straddling Mosaic's register-spill cliff for
     long fused chains (lands unpredictably around ~384-768 fused 1-cycle
     ops): the same alu probe returned 631 Gop/s (spilled t_2K) and
@@ -111,7 +112,8 @@ def _timed_chain(link, K: int, shape=(4096, 1024), reps: int = 30,
     K ops literally. XLA-level chains proved unusable for this on the
     tunnel: the fusion's tiling/spill decisions vary run to run and the
     measured "alu rate" swung 631 Gop/s -> 6.8 Top/s -> 68 Top/s across
-    three eval_rows passes (physics caps the v5e VPU near 3.9 Top/s)."""
+    three eval_rows passes (architectural peak is ~6 Top/s; 41 and 68
+    were still impossible)."""
     link = _with_w(link)
     if pallas:
         shape = (2048, 128)  # 1 MB VMEM block; big enough to fill lanes
@@ -153,31 +155,49 @@ def _timed_chain(link, K: int, shape=(4096, 1024), reps: int = 30,
     return fori_time(body, (z0, w0), reps=reps), z0.size
 
 
-def op_rate(link, ops_per_link: int, Ks=(64, 128, 256), **kw):
-    """(ops/s, debug) for one chain link via a K-SWEEP slope fit over the
-    Pallas (or XLA, on CPU) chain kernel. Adjacent-pair slopes in the
-    linear region agree; overhead and any codegen pathology only ever
-    INFLATE a slope, so the estimate is the median when the slopes agree
-    (spread < 1.3x) and the smallest positive slope otherwise. Debug
-    carries every t(K) and slope so a disagreeing sweep is visible in the
-    recorded output rather than silently averaged."""
-    ts = [_timed_chain(link, K, **kw) for K in Ks]
-    n = ts[0][1]
-    slopes = [
-        (ts[i + 1][0] - ts[i][0]) / (Ks[i + 1] - Ks[i])
-        for i in range(len(Ks) - 1)
-    ]
-    pos = sorted(s for s in slopes if s > 0)
-    if not pos:  # every pair non-increasing: fall back to the secant
-        per_link = ts[0][0] / Ks[0]
-        agree = False
+def op_rate(link, ops_per_link: int, Ks=(64, 128, 256), repeats: int = 3,
+            **kw):
+    """(ops/s, debug) for one chain link: ``repeats`` independent K-SWEEPs
+    over the Pallas (or XLA, on CPU) chain kernel, per-link time = the
+    MEDIAN of all pooled adjacent-pair slopes. A single sweep's pair
+    selection proved unstable on the tunnel (the same alu probe anchored
+    four eval passes at 2.79 / 2.80 / 3.28 / 4.11 Top/s — a 1.47x spread
+    from one noisy window flipping which pair looks 'linear'); the pooled
+    median is robust to one inflated (stall) and one deflated
+    (sub-linear) pair per repeat. Debug carries every slope so spread
+    stays visible in recorded output."""
+    by_pair = [[] for _ in range(len(Ks) - 1)]
+    t_us = []
+    n = None
+    for _ in range(repeats):
+        ts = [_timed_chain(link, K, **kw) for K in Ks]
+        n = ts[0][1]
+        t_us.append({K: round(t * 1e6, 1) for K, (t, _) in zip(Ks, ts)})
+        for i in range(len(Ks) - 1):
+            by_pair[i].append(
+                (ts[i + 1][0] - ts[i][0]) / (Ks[i + 1] - Ks[i]))
+    # median WITHIN each K-pair (kills single-window noise), min ACROSS
+    # pairs (slopes differ systematically by chain length — longer
+    # unrolled chains schedule slightly worse per op, and the kernel's
+    # real per-element chain is SHORT, like the small-K pair). Pooling
+    # all six slopes into one median mixed the two clusters and landed
+    # on whichever had more members.
+    pair_medians = []
+    for sl in by_pair:
+        pos = sorted(s for s in sl if s > 0)
+        if pos:
+            pair_medians.append(pos[len(pos) // 2])
+    if not pair_medians:  # every pair non-increasing: secant fallback
+        per_link = t_us[0][Ks[0]] * 1e-6 / Ks[0]
     else:
-        agree = pos[-1] / pos[0] < 1.3
-        per_link = pos[len(pos) // 2] if agree else pos[0]
+        per_link = min(pair_medians)
+    spread = (round(max(pair_medians) / min(pair_medians), 2)
+              if len(pair_medians) > 1 else None)
     return (ops_per_link * n) / per_link, {
-        "t_us": {K: round(t * 1e6, 1) for K, (t, _) in zip(Ks, ts)},
-        "slopes_ns_per_link": [round(s * 1e9, 2) for s in slopes],
-        "slopes_agree": agree,
+        "t_us": t_us,
+        "pair_median_slopes_ns": [
+            round(s * 1e9, 2) for s in pair_medians],
+        "pair_spread": spread,
     }
 
 
