@@ -459,8 +459,13 @@ def main(argv=None) -> dict:
             # planned run would stream a large fraction of host RAM as
             # batches, the 4 KB/step device sampler is the robust choice
             # regardless of per-batch latency.
-            batch_bytes = 4.0 * config.batch_size * (
-                config.negative_sample_size + 5)
+            if config.negative_sharing == "batch":
+                # shared negatives ship ONE [n] row per step, not [B, n]
+                batch_bytes = 4.0 * (
+                    4 * config.batch_size + config.negative_sample_size)
+            else:
+                batch_bytes = 4.0 * config.batch_size * (
+                    config.negative_sample_size + 5)
             est_stream = (config.max_steps - step) * batch_bytes
             ram = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
             tunnel = bool(os.environ.get("PALLAS_AXON_POOL_IPS"))

@@ -116,9 +116,11 @@ def get_device_filter(filters: FilterSets, mesh=None) -> "DeviceFilter":
 # replaces the params buffer — merely checking liveness on the next
 # lookup would pin the stale copy in HBM for the whole inter-validation
 # interval. The cap is a deliberate HBM budget: each live entry pins one
-# padded table copy (~1 GB at YAGO d=1000), so 2 covers the common
-# two-model alternation while bounding worst-case pinning at one extra
-# table vs the r2 single slot.
+# padded table copy (~1 GB at YAGO d=1000), and pRotatE entries pin 3x
+# that (the r5 factorized-trig sin/cos tables ride the ranker), so 2
+# covers the common two-model alternation while bounding worst-case
+# pinning at ~6 GB (two pRotatE entries at d=1000 scale) — well inside
+# v5e's 16 GB next to the live training state.
 _RANKER_CACHE_MAX = 2
 _pallas_ranker_cache: dict = {}  # {(id(table), spec): (weakref(table), ranker)}
 

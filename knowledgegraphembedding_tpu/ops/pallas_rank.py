@@ -27,8 +27,11 @@ Measured on TPU v5e at YAGO3-10 shape (E=123k, d=500 -de, B=16):
 5.4 ms/batch vs 9.6 ms for the XLA chunked path (1.8x).
 
 Lane alignment: the embedding dim is zero-padded per (re|im) half to a
-multiple of 128; pad columns contribute exactly 0 to every distance (the
-magnitude uses a where(sq>0) guard), so scores are unchanged.
+multiple of 128; pad columns contribute exactly 0 to every distance
+(RotatE relies on sqrt(0) == 0 exactly — the r4 where(sq>0) guard was
+removed in r5 because eval computes no gradient, keeping the per-element
+mix at 6 ALU + 1 sqrt; pRotatE's factored form maps pads to
+|sin0*cos0' - cos0*sin0'| = 0), so scores are unchanged.
 
 DistMult/ComplEx rank via the MXU matmul path (ops/matmul_scoring.py)
 instead — bilinear forms don't need this kernel.
@@ -153,7 +156,6 @@ def left_rows(params, spec: ModelSpec, pos, mode: str):
 def _rank_kernel(
     true_ref,  # SMEM [1, B] f32 — true-triple scores
     tid_ref,  # SMEM [1, B] i32 — true entity ids (excluded from the count)
-    mod_ref,  # SMEM [1, 1] f32 — pRotatE modulus (1.0 otherwise)
     left_ref,  # VMEM [B, dpad] f32 (resident)
     tab_ref,  # VMEM [TE, dpad] f32 — streamed table tile
     mask_ref,  # VMEM [TE, B] i32 — streamed filter-mask tile (transposed)
@@ -161,7 +163,6 @@ def _rank_kernel(
     *,
     family: str,
     gamma: float,
-    inv_scale: float,
     E: int,
     TE: int,
     half_pad: int,
@@ -324,25 +325,26 @@ def rank_counts_protate(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("family", "gamma", "inv_scale", "E", "TE", "half_pad",
+    static_argnames=("family", "gamma", "E", "TE", "half_pad",
                      "interpret"),
 )
 def rank_counts(
     left: jnp.ndarray,  # f32[B, dpad]
     true_score: jnp.ndarray,  # f32[B]
     true_ids: jnp.ndarray,  # i32[B]
-    modulus: jnp.ndarray,  # f32[] scalar
     table: jnp.ndarray,  # f32[Epad, dpad]
     mask_t: jnp.ndarray,  # bool/int32[Epad, B] (transposed filter mask)
     *,
     family: str,
     gamma: float,
-    inv_scale: float,
     E: int,
     TE: int,
     half_pad: int,
     interpret: bool = False,
 ) -> jnp.ndarray:
+    # pRotatE ranks through rank_counts_protate (factorized trig, r5);
+    # a silent fall-through here would compute TransE L1 scores for it
+    assert family in ("RotatE", "TransE"), family
     B, dpad = left.shape
     Epad = table.shape[0]
     assert Epad % TE == 0, (Epad, TE)
@@ -350,7 +352,7 @@ def rank_counts(
 
     kern = functools.partial(
         _rank_kernel,
-        family=family, gamma=gamma, inv_scale=inv_scale,
+        family=family, gamma=gamma,
         E=E, TE=TE, half_pad=half_pad, B=B,
     )
     counts = pl.pallas_call(
@@ -359,7 +361,6 @@ def rank_counts(
         in_specs=[
             pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((B, dpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TE, dpad), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TE, B), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -370,7 +371,6 @@ def rank_counts(
     )(
         true_score[None, :],
         true_ids[None, :],
-        jnp.reshape(modulus.astype(jnp.float32), (1, 1)),
         left,
         table,
         mask_t.astype(jnp.int32),
@@ -403,7 +403,10 @@ def _prep_sincos(table_padded, *, inv_scale: float):
 class PallasRanker:
     """Prepares the lane-padded table once, then ranks eval batches through
     the fused kernel. Construct per evaluation (the table changes between
-    training evals). Only the PADDED table stays live — the wrapper gathers
+    training evals). For RotatE/TransE only the PADDED table stays live;
+    pRotatE additionally pins the factorized-trig sin/cos tables — 3x the
+    padded-table HBM (e.g. ~756 MB at YAGO d=500, vs ~252 MB single) —
+    which eval.py's ranker-cache budget accounts for. The wrapper gathers
     its few L/true rows from it and un-pads them, so eval never holds two
     copies of the entity table in HBM."""
 
@@ -492,10 +495,9 @@ def _ranks_jit(table_padded, rel_table, modulus, pos, filter_mask,
                             span, half_pad, two_halves)
     true_score = true_scores(left, true_rows, spec, modulus)
     counts = rank_counts(
-        left_p, true_score, true_ids.astype(jnp.int32), modulus,
+        left_p, true_score, true_ids.astype(jnp.int32),
         table_padded, filter_mask.T,
-        family=spec.model_name, gamma=spec.gamma,
-        inv_scale=PI / spec.embedding_range, E=spec.nentity,
+        family=spec.model_name, gamma=spec.gamma, E=spec.nentity,
         TE=TE, half_pad=half_pad,
         interpret=interpret,
     )

@@ -169,9 +169,11 @@ def op_rate(link, ops_per_link: int, Ks=(64, 128, 256), repeats: int = 3,
     by_pair = [[] for _ in range(len(Ks) - 1)]
     t_us = []
     n = None
+    t0_raw = None
     for _ in range(repeats):
         ts = [_timed_chain(link, K, **kw) for K in Ks]
         n = ts[0][1]
+        t0_raw = ts[0][0]
         t_us.append({K: round(t * 1e6, 1) for K, (t, _) in zip(Ks, ts)})
         for i in range(len(Ks) - 1):
             by_pair[i].append(
@@ -188,7 +190,7 @@ def op_rate(link, ops_per_link: int, Ks=(64, 128, 256), repeats: int = 3,
         if pos:
             pair_medians.append(pos[len(pos) // 2])
     if not pair_medians:  # every pair non-increasing: secant fallback
-        per_link = t_us[0][Ks[0]] * 1e-6 / Ks[0]
+        per_link = t0_raw / Ks[0]  # raw seconds, NOT the rounded debug
     else:
         per_link = min(pair_medians)
     spread = (round(max(pair_medians) / min(pair_medians), 2)
@@ -232,8 +234,9 @@ def measure_rates(fast: bool = False) -> Dict[str, Tuple[float, dict]]:
     accelerators (one live vreg — spill-free by construction; see
     _timed_chain) and via the XLA chain on CPU (Pallas interpret mode is
     too slow to probe with). ``fast`` skips the diagnostic-only probes
-    (mul_add fma check, guard mix, rsqrt) and keeps the three the
-    roofline needs (alu, sqrt, sin). The small VMEM block makes a single
+    (mul_add fma check, guard mix, rsqrt, sin — sin is diagnostic-only
+    since the factorized pRotatE kernel) and keeps the two the roofline
+    needs (alu, sqrt). The small VMEM block makes a single
     chain iteration ~tens of us, so reps are raised until each timed
     window clears the tunnel's ms-scale jitter."""
     pallas = jax.default_backend() != "cpu"
@@ -254,12 +257,14 @@ def measure_rates(fast: bool = False) -> Dict[str, Tuple[float, dict]]:
         rates["rsqrt_chain"] = op_rate(
             lambda z, j: jax.lax.rsqrt(z + 0.3 + 0.01 * (j % 3)), 2,
             Ks=(32, 64, 128), **special)
+        # diagnostic only since the r5 factorized pRotatE kernel: no
+        # KERNEL_MIX entry uses sin, so fast floor computations skip it
+        rates["sin_chain"] = op_rate(
+            lambda z, j: jnp.sin(z + 0.7 + 0.01 * (j % 3)), 2,
+            Ks=(8, 16, 32), **special)
     rates["sqrt_chain"] = op_rate(
         lambda z, j: jnp.sqrt(z + 0.3 + 0.01 * (j % 3)), 2,
         Ks=(32, 64, 128), **special)
-    rates["sin_chain"] = op_rate(
-        lambda z, j: jnp.sin(z + 0.7 + 0.01 * (j % 3)), 2,
-        Ks=(8, 16, 32), **special)
     return rates
 
 

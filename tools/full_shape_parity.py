@@ -669,8 +669,18 @@ def leg_f64() -> dict:
 KINK_DIVISION_MODELS = ("pRotatE",)
 
 if __name__ == "__main__":
-    _preset_arg = (sys.argv[sys.argv.index("--preset") + 1]
-                   if "--preset" in sys.argv else PRESET)
+    if "--preset" in sys.argv:
+        _pi = sys.argv.index("--preset")
+        if _pi + 1 >= len(sys.argv):
+            sys.exit(f"--preset needs a name: {sorted(PRESETS)}")
+        _preset_arg = sys.argv[_pi + 1]
+        # fail HERE, before the opt0 auto-enable keys off the preset's
+        # model — a typo'd name silently skipping strict rounding would
+        # report the phantom kink-division drift the flag exists to kill
+        if _preset_arg not in PRESETS:
+            sys.exit(f"unknown preset {_preset_arg!r}: {sorted(PRESETS)}")
+    else:
+        _preset_arg = PRESET
     if ("f64" in sys.argv[1:]
             and PRESETS.get(_preset_arg, {}).get("MODEL", MODEL)
             in KINK_DIVISION_MODELS

@@ -25,7 +25,7 @@ compile_cache.enable()
 
 
 def main():
-    rates = vpu_probe.measure_rates(fast=True)
+    rates = vpu_probe.measure_rates()
     bw = vpu_probe.hbm_bandwidth()
     out = {
         "platform": jax.default_backend(),
