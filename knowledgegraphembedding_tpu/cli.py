@@ -150,6 +150,21 @@ def parse_args(argv=None) -> RunConfig:
     return RunConfig(**vars(ns))
 
 
+def planned_host_stream_bytes(batch_size: int, negative_sample_size: int,
+                              negative_sharing: str,
+                              steps_remaining: int) -> float:
+    """Total host->device batch bytes a host-sampled train run will
+    stream: i32/f32 pos [B,3] + weights [B] + mode, and negatives [B,n]
+    per-positive or ONE [n] row under --negative_sharing batch. Feeds the
+    r5 transfer-volume guard (the tunnel client leaks staging buffers;
+    BENCH_NOTES §Round-5 leak)."""
+    if negative_sharing == "batch":
+        batch_bytes = 4.0 * (4 * batch_size + negative_sample_size)
+    else:
+        batch_bytes = 4.0 * batch_size * (negative_sample_size + 5)
+    return max(steps_remaining, 0) * batch_bytes
+
+
 def main(argv=None) -> dict:
     """The orchestration flow of codes/run.py §main, returning the final
     metrics dict (handy for tests)."""
@@ -459,14 +474,9 @@ def main(argv=None) -> dict:
             # planned run would stream a large fraction of host RAM as
             # batches, the 4 KB/step device sampler is the robust choice
             # regardless of per-batch latency.
-            if config.negative_sharing == "batch":
-                # shared negatives ship ONE [n] row per step, not [B, n]
-                batch_bytes = 4.0 * (
-                    4 * config.batch_size + config.negative_sample_size)
-            else:
-                batch_bytes = 4.0 * config.batch_size * (
-                    config.negative_sample_size + 5)
-            est_stream = (config.max_steps - step) * batch_bytes
+            est_stream = planned_host_stream_bytes(
+                config.batch_size, config.negative_sample_size,
+                config.negative_sharing, config.max_steps - step)
             ram = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
             tunnel = bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
             if ds.nentity * ds.nrelation <= MAX_DENSE_KEYS:

@@ -245,3 +245,22 @@ def test_countries_on_mesh(tmp_path):
         "--num_shards", "2", "-save", str(tmp_path / "save"),
     ])
     assert 0.0 <= metrics["test"]["auc_pr"] <= 1.0
+
+
+def test_planned_host_stream_bytes():
+    """The r5 transfer-volume guard's byte math: per-positive negatives
+    stream [B, n] per step; shared negatives ship ONE [n] row (the first
+    guard cut overestimated shared-negs runs by ~60x)."""
+    from knowledgegraphembedding_tpu.cli import planned_host_stream_bytes
+
+    per_pos = planned_host_stream_bytes(512, 1024, "none", 80_000)
+    # 512 * (1024 + 5) * 4 bytes * 80k steps ~ 169 GB — the wn18rr
+    # capstone shape that leaked ~130 GB by step 63k
+    assert abs(per_pos - 80_000 * 4.0 * 512 * 1029) < 1
+    assert per_pos > 100e9
+
+    shared = planned_host_stream_bytes(512, 1024, "batch", 80_000)
+    assert abs(shared - 80_000 * 4.0 * (4 * 512 + 1024)) < 1
+    assert shared < 1.1e9  # ~60x smaller than the per-positive stream
+
+    assert planned_host_stream_bytes(512, 1024, "none", -5) == 0.0
