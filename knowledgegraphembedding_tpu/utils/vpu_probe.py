@@ -9,10 +9,11 @@ row's circular "~1.0 vs the kernel's own measured rate" (VERDICT r4 weak
 #3).
 
 Method — chain-length SWEEP: time one jitted fori_loop whose body applies
-a K-link elementwise chain, at four chain lengths. Every program streams
-identical bytes per iteration, so adjacent-pair slopes isolate pure op
-issue time with HBM stream, loop, and dispatch costs subtracted exactly;
-the per-link estimate is the median of slopes pooled over repeats.
+a K-link elementwise chain, at three chain lengths x three repeats. Every
+program streams identical bytes per iteration, so adjacent-pair slopes
+isolate pure op issue time with HBM stream, loop, and dispatch costs
+subtracted exactly; the per-link estimate is the median within each
+K-pair across repeats, then the min across pairs (see op_rate).
 Pitfalls this design dodges (all measured, r4/r5):
   - a bandwidth-contaminated rate probe (3 ops/elem on a 16 MB carry is
     ~75% HBM time) undershoots peak ~4x;
