@@ -54,7 +54,7 @@ def test_two_process_cli_end_to_end(tmp_path, spmd_mode):
                          stderr=subprocess.STDOUT, text=True)
         for pid in (0, 1)
     ]
-    outs = [p.communicate(timeout=420)[0] for p in procs]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"host {pid} failed:\n{out[-4000:]}"
 
@@ -138,7 +138,7 @@ def test_two_process_device_sampler_and_device_eval(tmp_path):
                          stderr=subprocess.STDOUT, text=True)
         for pid in (0, 1)
     ]
-    outs = [p.communicate(timeout=420)[0] for p in procs]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"host {pid} failed:\n{out[-4000:]}"
 
@@ -204,7 +204,7 @@ def test_two_process_fused_blocks(tmp_path):
                          stderr=subprocess.STDOUT, text=True)
         for pid in (0, 1)
     ]
-    outs = [p.communicate(timeout=420)[0] for p in procs]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"host {pid} failed:\n{out[-4000:]}"
     assert "fused training: 8 steps per dispatch" in outs[0]
@@ -267,7 +267,7 @@ def test_two_process_2d_mesh(tmp_path):
                          stderr=subprocess.STDOUT, text=True)
         for pid in (0, 1)
     ]
-    outs = [p.communicate(timeout=420)[0] for p in procs]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"host {pid} failed:\n{out[-4000:]}"
     assert "SPMD mesh: (2 data x 2 model) devices" in outs[0]
